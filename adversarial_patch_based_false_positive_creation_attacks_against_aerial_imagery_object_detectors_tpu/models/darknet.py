@@ -1,0 +1,319 @@
+"""Functional darknet/YOLOv3 victim model, TPU-native.
+
+Design (vs. the reference's ``darknet_v3.py`` nn.ModuleList walk):
+
+- **Pure function of (params, image)** — the network structure is compiled
+  from the block list once; the forward is a Python loop emitted into a
+  single XLA program under ``jit``.
+- **NHWC layout** with HWIO kernels: the natural TPU conv layout (the MXU
+  consumes the channel dim as the contraction axis).
+- **BN folding**: the victim detector only ever runs in eval mode
+  (reference ``train_patch.py:60``), so each conv+BN pair is an affine and
+  is folded into the conv kernel/bias at load time
+  (``fold_bn``) — one fused conv per layer instead of conv+4 elementwise.
+- **Raw heads out** — the model returns the three raw prediction maps
+  ``[B, S, S, 3*(5+C)]`` for S in (H/32, H/16, H/8) with *no* sigmoid or
+  box decode (the contract from reference ``darknet_v3.py:195-221``; the
+  trainer indexes raw logits per cell, eval decodes separately).
+
+``head.reshape(B, S, S, 3, 5 + C)`` is anchor-major/component-minor,
+matching the torch channel order ``a*(5+C)+c`` so weight-level parity with
+the reference holds elementwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .darknet_cfg import Block, parse_darknet_cfg
+
+Params = Dict[str, Dict[str, jnp.ndarray]]
+
+BN_EPS = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvSpec:
+    index: int          # module index (for params key / weight file order)
+    in_ch: int
+    filters: int
+    size: int
+    stride: int
+    pad: int
+    bn: bool
+    activation: str     # "leaky" | "mish" | "linear"
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    kind: str           # convolutional | maxpool | upsample | route | shortcut | yolo
+    conv: Optional[ConvSpec] = None
+    # maxpool
+    pool_size: int = 0
+    pool_stride: int = 0
+    # upsample
+    scale: int = 0
+    # route: absolute module indices to concat; shortcut: absolute source index
+    route_from: Tuple[int, ...] = ()
+    shortcut_from: int = -1
+    # yolo
+    mask: Tuple[int, ...] = ()
+    anchors: Tuple[Tuple[int, int], ...] = ()
+    num_classes: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class Network:
+    """Compiled network structure: static layer specs + bookkeeping."""
+    layers: Tuple[LayerSpec, ...]
+    width: int
+    height: int
+    channels: int
+    num_classes: int
+    yolo_indices: Tuple[int, ...]
+    # module indices whose outputs are needed later (route/shortcut sources)
+    saved_outputs: Tuple[int, ...]
+
+
+def build_network(blocks: Sequence[Block]) -> Network:
+    """Compile a parsed block list into a static ``Network`` description."""
+    net_info = blocks[0]
+    assert net_info["type"] == "net"
+    width = int(net_info.get("width", 608))
+    height = int(net_info.get("height", 608))
+    channels = int(net_info.get("channels", 3))
+
+    layers: List[LayerSpec] = []
+    out_channels: List[int] = []
+    yolo_indices: List[int] = []
+    needed: set = set()
+    num_classes = 0
+
+    for i, block in enumerate(blocks[1:]):
+        kind = block["type"]
+        if kind == "convolutional":
+            bn = bool(int(block.get("batch_normalize", 0)))
+            filters = int(block["filters"])
+            size = int(block["size"])
+            in_ch = out_channels[-1] if out_channels else channels
+            spec = ConvSpec(
+                index=i, in_ch=in_ch, filters=filters, size=size,
+                stride=int(block["stride"]), pad=(size - 1) // 2, bn=bn,
+                activation=block.get("activation", "linear"),
+            )
+            layers.append(LayerSpec("convolutional", conv=spec))
+            out_channels.append(filters)
+        elif kind == "maxpool":
+            layers.append(LayerSpec(
+                "maxpool", pool_size=int(block["size"]),
+                pool_stride=int(block["stride"])))
+            out_channels.append(out_channels[-1])
+        elif kind == "upsample":
+            layers.append(LayerSpec("upsample", scale=int(block["stride"])))
+            out_channels.append(out_channels[-1])
+        elif kind == "route":
+            srcs = tuple(
+                (i + int(x)) if int(x) < 0 else int(x)
+                for x in block["layers"].split(","))
+            needed.update(srcs)
+            layers.append(LayerSpec("route", route_from=srcs))
+            out_channels.append(sum(out_channels[s] for s in srcs))
+        elif kind == "shortcut":
+            frm = int(block["from"])
+            src = i + frm if frm < 0 else frm
+            needed.add(src)
+            needed.add(i - 1)
+            layers.append(LayerSpec("shortcut", shortcut_from=src))
+            out_channels.append(out_channels[-1])
+        elif kind == "yolo":
+            mask = tuple(int(x) for x in block["mask"].split(","))
+            flat = [int(x) for x in block["anchors"].replace(",", " ").split()]
+            anchors = tuple(
+                (flat[2 * m], flat[2 * m + 1]) for m in mask)
+            num_classes = int(block["classes"])
+            layers.append(LayerSpec(
+                "yolo", mask=mask, anchors=anchors, num_classes=num_classes))
+            yolo_indices.append(i)
+            out_channels.append(out_channels[-1])
+        else:
+            raise ValueError(f"unsupported block type: {kind!r}")
+
+    return Network(
+        layers=tuple(layers), width=width, height=height, channels=channels,
+        num_classes=num_classes, yolo_indices=tuple(yolo_indices),
+        saved_outputs=tuple(sorted(needed)),
+    )
+
+
+def network_from_cfg(source) -> Network:
+    return build_network(parse_darknet_cfg(source))
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+def conv_specs(net: Network) -> List[ConvSpec]:
+    return [l.conv for l in net.layers if l.kind == "convolutional"]
+
+
+def init_params(net: Network, key: jax.Array,
+                dtype=jnp.float32) -> Params:
+    """Random-init parameters (He-normal kernels, identity-ish BN)."""
+    params: Params = {}
+    for spec in conv_specs(net):
+        key, wkey = jax.random.split(key)
+        fan_in = spec.in_ch * spec.size * spec.size
+        w = jax.random.normal(
+            wkey, (spec.size, spec.size, spec.in_ch, spec.filters), dtype
+        ) * np.sqrt(2.0 / fan_in)
+        p = {"w": w}
+        if spec.bn:
+            p["gamma"] = jnp.ones((spec.filters,), dtype)
+            p["beta"] = jnp.zeros((spec.filters,), dtype)
+            p["mean"] = jnp.zeros((spec.filters,), dtype)
+            p["var"] = jnp.ones((spec.filters,), dtype)
+        else:
+            p["b"] = jnp.zeros((spec.filters,), dtype)
+        params[f"conv_{spec.index}"] = p
+    return params
+
+
+def fold_bn(net: Network, params: Params) -> Params:
+    """Fold eval-mode batch-norm into conv kernel + bias.
+
+    y = gamma * (conv(x) - mean) / sqrt(var + eps) + beta
+      = conv(x; w * s) + (beta - mean * s),   s = gamma / sqrt(var + eps)
+
+    Returns a params tree with only {"w", "b"} per conv. Numerically
+    equivalent to unfolded eval BN up to float rounding.
+    """
+    folded: Params = {}
+    for spec in conv_specs(net):
+        p = params[f"conv_{spec.index}"]
+        if "gamma" in p:
+            s = p["gamma"] / jnp.sqrt(p["var"] + BN_EPS)
+            folded[f"conv_{spec.index}"] = {
+                "w": p["w"] * s,            # s broadcasts over O (last axis)
+                "b": p["beta"] - p["mean"] * s,
+            }
+        else:
+            folded[f"conv_{spec.index}"] = {"w": p["w"], "b": p["b"]}
+    return folded
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _activate(x: jnp.ndarray, activation: str) -> jnp.ndarray:
+    if activation == "leaky":
+        return jnp.where(x > 0, x, 0.1 * x)
+    if activation == "mish":
+        return x * jnp.tanh(jax.nn.softplus(x))
+    return x
+
+
+def _conv_layer(x: jnp.ndarray, spec: ConvSpec, p: Dict[str, jnp.ndarray],
+                compute_dtype) -> jnp.ndarray:
+    w = p["w"].astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), w,
+        window_strides=(spec.stride, spec.stride),
+        padding=[(spec.pad, spec.pad), (spec.pad, spec.pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if "gamma" in p:  # unfolded BN (eval-mode affine)
+        s = p["gamma"] / jnp.sqrt(p["var"] + BN_EPS)
+        y = y * s + (p["beta"] - p["mean"] * s)
+    else:
+        y = y + p["b"]
+    return _activate(y, spec.activation)
+
+
+def _maxpool(x: jnp.ndarray, size: int, stride: int) -> jnp.ndarray:
+    if size == 2 and stride == 1:
+        # darknet quirk: pad right/bottom by one, then 2x2/1 valid pool
+        pads = [(0, 0, 0), (0, 1, 0), (0, 1, 0), (0, 0, 0)]
+        x = jax.lax.pad(x, jnp.array(-jnp.inf, x.dtype), pads)
+        padding = [(0, 0)] * 4
+    else:
+        p = (size - 1) // 2
+        padding = [(0, 0), (p, p), (p, p), (0, 0)]
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, size, size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=padding)
+
+
+def _upsample(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    # nearest-neighbour, matching torch F.interpolate(mode="nearest")
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                         (b, h, scale, w, scale, c))
+    return x.reshape(b, h * scale, w * scale, c)
+
+
+def apply(net: Network, params: Params, x: jnp.ndarray,
+          compute_dtype=jnp.float32) -> List[jnp.ndarray]:
+    """Run the detector. ``x``: [B, H, W, 3] float in [0, 1] (NHWC).
+
+    Returns the three raw heads [B, S, S, 3*(5+C)] in float32, in cfg order
+    (stride 32, 16, 8) — mirroring the reference's ``[head19, head38,
+    head76]`` contract (reference darknet_v3.py:195-221), NHWC instead of
+    NCHW.
+    """
+    outputs: Dict[int, jnp.ndarray] = {}
+    heads: List[jnp.ndarray] = []
+    saved = set(net.saved_outputs)
+    prev = x
+    for i, layer in enumerate(net.layers):
+        if layer.kind == "convolutional":
+            prev = _conv_layer(prev, layer.conv, params[f"conv_{i}"],
+                               compute_dtype)
+        elif layer.kind == "maxpool":
+            prev = _maxpool(prev, layer.pool_size, layer.pool_stride)
+        elif layer.kind == "upsample":
+            prev = _upsample(prev, layer.scale)
+        elif layer.kind == "route":
+            prev = jnp.concatenate([outputs[s] for s in layer.route_from],
+                                   axis=-1)
+        elif layer.kind == "shortcut":
+            prev = outputs[i - 1] + outputs[layer.shortcut_from]
+        elif layer.kind == "yolo":
+            heads.append(prev.astype(jnp.float32))
+        if i in saved or (i + 1 < len(net.layers)
+                          and net.layers[i + 1].kind == "shortcut"):
+            outputs[i] = prev
+    return heads
+
+
+def head_strides(net: Network, img_size: int) -> List[int]:
+    """Static stride of each yolo head for a given square input size."""
+    # Heads come out at img_size/32, /16, /8 for YOLOv3; compute generically
+    # by walking the layer strides.
+    strides = []
+    cur = 1
+    cur_by_index: Dict[int, int] = {}
+    for i, layer in enumerate(net.layers):
+        if layer.kind == "convolutional":
+            cur *= layer.conv.stride
+        elif layer.kind == "maxpool":
+            cur *= layer.pool_stride
+        elif layer.kind == "upsample":
+            cur //= layer.scale
+        elif layer.kind == "route":
+            cur = cur_by_index[layer.route_from[0]]
+        elif layer.kind == "shortcut":
+            cur = cur_by_index[layer.shortcut_from]
+        elif layer.kind == "yolo":
+            strides.append(cur)
+        cur_by_index[i] = cur
+    return strides
