@@ -1,0 +1,7 @@
+from .median_pool import median_pool_2d, median_pool_nhwc
+from .affine import (
+    affine_sample, affine_source_coords, bilinear_gather,
+    rotation_scale_translation_theta, output_grid_coords,
+)
+from .decode import decode_head, decode_all_heads, head_cell_scores
+from .nms import iou_xywh_matrix, greedy_nms_host, greedy_nms_device

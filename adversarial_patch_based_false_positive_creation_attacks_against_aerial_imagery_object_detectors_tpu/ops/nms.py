@@ -1,0 +1,94 @@
+"""IoU and non-maximum suppression.
+
+Two implementations with identical greedy semantics to the reference
+(utils.py:93-112 ``nms`` with the xywh IoU of utils.py:27-58):
+
+- ``greedy_nms_host``: numpy, variable-length — the eval/CLI path (the
+  reference also runs NMS on host).
+- ``greedy_nms_device``: jit-friendly fixed-size masked version (static
+  ``max_det`` detections, validity mask) for fully on-device pipelines;
+  TPU-compatible control flow via ``lax.fori_loop``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def iou_xywh_matrix(boxes_a, boxes_b, xp=np):
+    """Pairwise IoU for center-format boxes [N,4] x [M,4] -> [N,M].
+
+    Matches the reference's union-box formulation (utils.py:38-58),
+    including its behavior on degenerate boxes.
+    """
+    ax1 = boxes_a[:, 0] - boxes_a[:, 2] / 2.0
+    ax2 = boxes_a[:, 0] + boxes_a[:, 2] / 2.0
+    ay1 = boxes_a[:, 1] - boxes_a[:, 3] / 2.0
+    ay2 = boxes_a[:, 1] + boxes_a[:, 3] / 2.0
+    bx1 = boxes_b[:, 0] - boxes_b[:, 2] / 2.0
+    bx2 = boxes_b[:, 0] + boxes_b[:, 2] / 2.0
+    by1 = boxes_b[:, 1] - boxes_b[:, 3] / 2.0
+    by2 = boxes_b[:, 1] + boxes_b[:, 3] / 2.0
+
+    uw = xp.maximum(ax2[:, None], bx2[None, :]) - xp.minimum(
+        ax1[:, None], bx1[None, :])
+    uh = xp.maximum(ay2[:, None], by2[None, :]) - xp.minimum(
+        ay1[:, None], by1[None, :])
+    cw = boxes_a[:, 2][:, None] + boxes_b[:, 2][None, :] - uw
+    ch = boxes_a[:, 3][:, None] + boxes_b[:, 3][None, :] - uh
+    carea = xp.where((cw <= 0) | (ch <= 0), 0.0, cw * ch)
+    uarea = (boxes_a[:, 2] * boxes_a[:, 3])[:, None] + (
+        boxes_b[:, 2] * boxes_b[:, 3])[None, :] - carea
+    return carea / uarea
+
+
+def greedy_nms_host(boxes: np.ndarray, scores: np.ndarray,
+                    iou_thresh: float) -> np.ndarray:
+    """Greedy NMS on host. boxes [N,4] xywh, scores [N]. Returns kept
+    indices in descending-score order."""
+    n = len(scores)
+    if n == 0:
+        return np.zeros((0,), dtype=np.int64)
+    order = np.argsort(-scores, kind="stable")
+    iou = iou_xywh_matrix(boxes[order], boxes[order])
+    alive = np.ones(n, dtype=bool)
+    keep = []
+    for i in range(n):
+        if not alive[i]:
+            continue
+        keep.append(order[i])
+        alive[i + 1:] &= iou[i, i + 1:] <= iou_thresh
+    return np.asarray(keep, dtype=np.int64)
+
+
+def greedy_nms_device(boxes: jnp.ndarray, scores: jnp.ndarray,
+                      iou_thresh: float, max_det: int):
+    """Fixed-size greedy NMS under jit.
+
+    boxes [N,4], scores [N] (invalid candidates must carry score<=0).
+    Returns (indices [max_det], valid [max_det] bool): the top-scoring
+    surviving boxes, greedy-suppressed exactly like the host version.
+    """
+    n = scores.shape[0]
+    k = min(max_det * 8, n)  # prune candidates before the O(k^2) IoU
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    top_boxes = boxes[top_idx]
+    iou = iou_xywh_matrix(top_boxes, top_boxes, xp=jnp)
+
+    def body(i, alive):
+        row = jnp.where(jnp.arange(k) > i, iou[i] > iou_thresh, False)
+        return jnp.where(alive[i], alive & ~row, alive)
+
+    alive = jax.lax.fori_loop(0, k, body, top_scores > 0)
+    # compact the survivors to the first max_det slots
+    rank = jnp.cumsum(alive) - 1
+    sel = jnp.where(alive, rank, k)
+    out_idx = jnp.zeros((max_det,), dtype=top_idx.dtype)
+    out_valid = jnp.zeros((max_det,), dtype=bool)
+    in_range = (sel < max_det) & alive
+    slot = jnp.where(in_range, sel, max_det)  # max_det drops out of bounds
+    out_idx = out_idx.at[slot].set(top_idx, mode="drop")
+    out_valid = out_valid.at[slot].set(True, mode="drop")
+    return out_idx, out_valid

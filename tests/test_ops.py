@@ -1,0 +1,187 @@
+"""Ops parity tests: median pool and affine warp against PyTorch oracles,
+NMS host/device agreement, decode math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu import ops
+from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.data import assets
+
+
+# ---------------------------------------------------------------------------
+# median pool
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("k,stride,hw", [(7, 1, (32, 40)), (3, 1, (17, 17)),
+                                         (3, 2, (16, 16)), (4, 2, (16, 16))])
+def test_median_pool_torch_parity(rng, k, stride, hw):
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.standard_normal((2, 3, *hw), dtype=np.float32)
+    ours = np.asarray(ops.median_pool_2d(jnp.asarray(x), k, stride))
+
+    # torch oracle: reflect pad ("same" rule), unfold, lower median
+    t = torch.from_numpy(x)
+    ih, iw = hw
+    ph = max(k - stride, 0) if ih % stride == 0 else max(k - ih % stride, 0)
+    pw = max(k - stride, 0) if iw % stride == 0 else max(k - iw % stride, 0)
+    pl, pt_ = pw // 2, ph // 2
+    t = F.pad(t, (pl, pw - pl, pt_, ph - pt_), mode="reflect")
+    t = t.unfold(2, k, stride).unfold(3, k, stride)
+    t = t.contiguous().view(t.size()[:4] + (-1,)).median(dim=-1)[0]
+    np.testing.assert_allclose(ours, t.numpy(), atol=0)
+
+
+def test_median_pool_gradient_flows():
+    x = jnp.arange(25.0).reshape(1, 5, 5)
+    g = jax.grad(lambda p: ops.median_pool_2d(p, 3).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.asarray(g).sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# affine warp
+# ---------------------------------------------------------------------------
+
+def _torch_grid_sample(img_nchw, theta, out_hw):
+    import torch
+    import torch.nn.functional as F
+    timg = torch.from_numpy(img_nchw)
+    ttheta = torch.from_numpy(theta)
+    grid = F.affine_grid(
+        ttheta, [img_nchw.shape[0], img_nchw.shape[1], *out_hw],
+        align_corners=False)
+    out = F.grid_sample(timg, grid, mode="bilinear", padding_mode="zeros",
+                        align_corners=False)
+    return out.numpy()
+
+
+def test_affine_sample_torch_parity(rng):
+    b, h, w, c = 3, 20, 24, 3
+    img = rng.standard_normal((b, h, w, c), dtype=np.float32)
+    angles = rng.uniform(-np.pi, np.pi, b).astype(np.float32)
+    scales = rng.uniform(0.3, 2.0, b).astype(np.float32)
+    txs = rng.uniform(-1, 1, b).astype(np.float32)
+    tys = rng.uniform(-1, 1, b).astype(np.float32)
+    theta = np.asarray(ops.rotation_scale_translation_theta(
+        jnp.asarray(angles), jnp.asarray(scales), jnp.asarray(txs),
+        jnp.asarray(tys)))
+    out_hw = (28, 32)
+    ours = np.asarray(ops.affine_sample(jnp.asarray(img), jnp.asarray(theta),
+                                        out_hw))
+    theirs = _torch_grid_sample(img.transpose(0, 3, 1, 2), theta, out_hw)
+    np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), theirs,
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_affine_sample_padded_canvas_equivalence(rng):
+    """Sampling the small patch with a pad offset == warping the
+    zero-padded canvas (the reference's formulation)."""
+    patch = rng.random((2, 8, 8, 3), dtype=np.float32)
+    canvas_hw = (24, 24)
+    pad = 8  # (24-8)/2
+    canvas = np.zeros((2, 24, 24, 3), dtype=np.float32)
+    canvas[:, pad:pad + 8, pad:pad + 8, :] = patch
+    theta = np.asarray(ops.rotation_scale_translation_theta(
+        jnp.asarray([0.4, -1.2]), jnp.asarray([0.7, 1.5]),
+        jnp.asarray([0.3, -0.2]), jnp.asarray([-0.5, 0.1])),
+        dtype=np.float32)
+    full = np.asarray(ops.affine_sample(
+        jnp.asarray(canvas), jnp.asarray(theta), canvas_hw))
+    fused, mask = ops.affine_sample(
+        jnp.asarray(patch), jnp.asarray(theta), canvas_hw,
+        src_hw=canvas_hw, offset=(pad, pad), with_mask=True)
+    np.testing.assert_allclose(np.asarray(fused), full, atol=1e-5)
+
+    ones_canvas = np.zeros_like(canvas)
+    ones_canvas[:, pad:pad + 8, pad:pad + 8, :] = 1.0
+    mask_ref = np.asarray(ops.affine_sample(
+        jnp.asarray(ones_canvas), jnp.asarray(theta), canvas_hw))
+    np.testing.assert_allclose(
+        np.asarray(mask)[..., 0], mask_ref[..., 0], atol=1e-5)
+
+
+def test_affine_sample_grad():
+    patch = jnp.ones((1, 4, 4, 3))
+    theta = jnp.asarray(ops.rotation_scale_translation_theta(
+        jnp.asarray([0.3]), jnp.asarray([0.9]), jnp.asarray([0.1]),
+        jnp.asarray([0.0])))
+    g = jax.grad(lambda p: ops.affine_sample(p, theta, (8, 8)).sum())(patch)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+# ---------------------------------------------------------------------------
+# NMS
+# ---------------------------------------------------------------------------
+
+def test_nms_host_matches_reference_semantics():
+    boxes = np.array([
+        [0.5, 0.5, 0.2, 0.2],
+        [0.52, 0.5, 0.2, 0.2],   # overlaps box 0
+        [0.1, 0.1, 0.1, 0.1],
+        [0.5, 0.5, 0.05, 0.05],  # inside box 0 but small IoU
+    ], dtype=np.float32)
+    scores = np.array([0.9, 0.95, 0.5, 0.8], dtype=np.float32)
+    keep = ops.greedy_nms_host(boxes, scores, 0.4)
+    assert keep.tolist() == [1, 3, 2]  # 0 suppressed by 1
+
+
+def test_nms_device_matches_host(rng):
+    n = 64
+    boxes = np.stack([
+        rng.random(n), rng.random(n),
+        0.05 + 0.2 * rng.random(n), 0.05 + 0.2 * rng.random(n)],
+        axis=1).astype(np.float32)
+    scores = rng.random(n).astype(np.float32)
+    keep_host = ops.greedy_nms_host(boxes, scores, 0.4)
+    idx, valid = jax.jit(
+        lambda b, s: ops.greedy_nms_device(b, s, 0.4, max_det=32)
+    )(jnp.asarray(boxes), jnp.asarray(scores))
+    keep_dev = np.asarray(idx)[np.asarray(valid)]
+    np.testing.assert_array_equal(keep_dev, keep_host[:32])
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def test_decode_head_math(rng):
+    s, c = 4, 15
+    anchors = assets.load_anchor_groups()[0]
+    head = rng.standard_normal((1, s, s, 60), dtype=np.float32)
+    boxes, obj, cls = ops.decode_head(jnp.asarray(head), anchors, (608, 608), c)
+    # manual check for one cell/anchor
+    y, x, a = 2, 1, 1
+    t = head[0, y, x, a * 20: (a + 1) * 20]
+    sig = lambda v: 1 / (1 + np.exp(-v))
+    i = (y * s + x) * 3 + a
+    np.testing.assert_allclose(boxes[0, i, 0], (sig(t[0]) + x) / s, rtol=1e-5)
+    np.testing.assert_allclose(boxes[0, i, 1], (sig(t[1]) + y) / s, rtol=1e-5)
+    np.testing.assert_allclose(
+        boxes[0, i, 2], np.exp(t[2]) * anchors[a, 0] / 608, rtol=1e-5)
+    np.testing.assert_allclose(obj[0, i], sig(t[4]), rtol=1e-5)
+    np.testing.assert_allclose(cls[0, i], sig(t[5:]), rtol=1e-5)
+
+
+def test_anchor_quirk():
+    groups = assets.load_anchor_groups()
+    # reversed group order: head 0 (stride 32) gets the small anchors
+    np.testing.assert_array_equal(
+        groups[0], [[15, 31], [19, 12], [28, 40]])
+    np.testing.assert_array_equal(
+        groups[2], [[78, 54], [95, 102], [181, 206]])
+    faithful = assets.load_anchor_groups(quirk=False)
+    np.testing.assert_array_equal(faithful[0], [[78, 54], [95, 102],
+                                                [181, 206]])
+
+
+def test_class_names_and_colors():
+    names = assets.load_class_names()
+    assert len(names) == 15
+    assert names[14] == "helicopter"
+    colors = assets.load_printable_colors()
+    assert colors.shape == (30, 3)
+    assert (colors >= 0).all() and (colors <= 1).all()
