@@ -1,0 +1,149 @@
+"""Creation-attack losses, jit-differentiable.
+
+Covers the reference's loss stack:
+
+- cell extraction of objectness/class scores at the patch's grid cell on
+  all three scales (``obj_cls_conf_find`` + reshapers,
+  train_patch.py:428-524) — here one batched gather instead of per-image
+  Python loops (which forced device syncs in the reference);
+- the creation objective ``no_obj = 4 * (1 - mean(max_9 obj))``
+  (train_patch.py:230-239);
+- targeted class CE over softmax of the *sigmoided* class scores
+  (train_patch.py:526-548 — the reference feeds probabilities to
+  CrossEntropyLoss; replicated), and the margin variant
+  (train_patch.py:550-577);
+- non-printability score (load_data.py:340-389), total variation
+  (load_data.py:392-411), Hasler-Süsstrunk colorfulness
+  (load_data.py:1724-1754);
+- whole-image max obj/cls extraction (MaxProbExtractor,
+  load_data.py:125-337) for the legacy vanishing-attack recipes.
+
+Deliberately replicated quirk: the reference's cell index is
+``floor(center_x/stride) * S + floor(center_y/stride)``
+(train_patch.py:461-467) while the head's flat layout is row-major
+``y * S + x`` — i.e. the extracted cell has its x/y *swapped*. Default
+``swap_xy=True`` reproduces this; pass ``False`` for the geometrically
+faithful cell.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Patch-regularization losses
+# ---------------------------------------------------------------------------
+
+def nps_loss(patch: jnp.ndarray, printable_colors: jnp.ndarray) -> jnp.ndarray:
+    """Non-printability score. patch [P, P, 3]; colors [K, 3].
+
+    Per pixel: min over the K printable colors of
+    sqrt(sum_c (p - c + 1e-6)^2 + 1e-6); summed, divided by patch numel.
+    """
+    diff = patch[None] - printable_colors[:, None, None, :] + 0.000001
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 0.000001)  # [K, P, P]
+    return jnp.sum(jnp.min(dist, axis=0)) / patch.size
+
+
+def total_variation(patch: jnp.ndarray) -> jnp.ndarray:
+    """Mean |dx| + |dy| with the reference's +1e-6 inside the abs."""
+    dx = jnp.abs(patch[:, 1:, :] - patch[:, :-1, :] + 0.000001)
+    dy = jnp.abs(patch[1:, :, :] - patch[:-1, :, :] + 0.000001)
+    return (jnp.sum(dx) + jnp.sum(dy)) / patch.size
+
+
+def colorfulness(patch: jnp.ndarray) -> jnp.ndarray:
+    """Hasler-Süsstrunk colorfulness (minimized for inconspicuous
+    patches; arXiv 1908.08505). patch [P, P, 3] RGB. Uses the unbiased
+    variance (torch.var default)."""
+    r, g, b = patch[..., 0], patch[..., 1], patch[..., 2]
+    rg = r - g
+    yb = 0.5 * (r + g) - b
+    sigma = jnp.sqrt(jnp.var(rg, ddof=1) + jnp.var(yb, ddof=1))
+    mu = jnp.sqrt(jnp.mean(rg) ** 2 + jnp.mean(yb) ** 2)
+    return sigma + 0.3 * mu
+
+
+# ---------------------------------------------------------------------------
+# Cell extraction + creation losses
+# ---------------------------------------------------------------------------
+
+def extract_cell_scores(heads: Sequence[jnp.ndarray], centers: jnp.ndarray,
+                        img_size: int, num_classes: int = 15,
+                        swap_xy: bool = True):
+    """Sigmoided (obj, cls) scores of the patch's cell on each scale.
+
+    heads: raw NHWC heads [B, S, S, 3*(5+C)]; centers: [B, 2] pixel (x, y).
+    Returns (obj [B, 3*n_heads], cls [B, 3*n_heads, C]) in scale-major,
+    anchor-minor order (matching the reference's [B, 9] / [B, 9, 15]).
+    """
+    objs: List[jnp.ndarray] = []
+    clss: List[jnp.ndarray] = []
+    batch = centers.shape[0]
+    bidx = jnp.arange(batch)
+    for head in heads:
+        s = head.shape[1]
+        stride = img_size // s
+        cell = jnp.floor_divide(centers.astype(jnp.int32), stride)  # [B,2]
+        cx, cy = cell[:, 0], cell[:, 1]
+        row, col = (cx, cy) if swap_xy else (cy, cx)
+        x = head.reshape(batch, s, s, 3, 5 + num_classes)
+        cells = x[bidx, row, col]                   # [B, 3, 5+C]
+        scores = jax.nn.sigmoid(cells[..., 4:])     # [B, 3, 1+C]
+        objs.append(scores[..., 0])
+        clss.append(scores[..., 1:])
+    return (jnp.concatenate(objs, axis=1),
+            jnp.concatenate(clss, axis=1))
+
+
+def creation_obj_loss(cell_obj: jnp.ndarray) -> jnp.ndarray:
+    """4 * (1 - mean over batch of the max objectness among the 9 cell
+    anchors) — drive at least one anchor's objectness to 1."""
+    return 4.0 * (1.0 - jnp.mean(jnp.max(cell_obj, axis=1)))
+
+
+def creation_cls_ce_loss(cell_cls: jnp.ndarray, target_id: int) -> jnp.ndarray:
+    """Targeted CE over the 9 anchors' class scores.
+
+    cell_cls: [B, 9, C] *sigmoided* class scores; the reference applies
+    CrossEntropyLoss (= log_softmax + NLL) directly on these
+    probabilities, so we softmax the sigmoided scores. Mean over anchors,
+    then mean over batch.
+    """
+    logp = jax.nn.log_softmax(cell_cls, axis=-1)
+    return -jnp.mean(logp[..., target_id])
+
+
+def creation_cls_margin_loss(cell_cls: jnp.ndarray,
+                             target_id: int) -> jnp.ndarray:
+    """Margin variant (train_patch.py:550-577 case-2): sum over batch of
+    mean over anchors of (max_class_prob - target_class_prob)."""
+    diff = jnp.max(cell_cls, axis=-1) - cell_cls[..., target_id]
+    return jnp.sum(jnp.mean(diff, axis=1))
+
+
+def max_prob_extract(heads: Sequence[jnp.ndarray], cls_id: int,
+                     num_classes: int = 15, sigmoid_mode: bool = False):
+    """Whole-image max objectness and max target-class score
+    (MaxProbExtractor semantics; raw logits unless ``sigmoid_mode``).
+
+    Returns (max_obj [B], max_cls [B]).
+    """
+    objs, clss = [], []
+    for head in heads:
+        b, s, _, _ = head.shape
+        x = head.reshape(b, s, s, 3, 5 + num_classes)
+        obj = x[..., 4].reshape(b, -1)
+        cls = x[..., 5 + cls_id].reshape(b, -1)
+        if sigmoid_mode:
+            obj, cls = jax.nn.sigmoid(obj), jax.nn.sigmoid(cls)
+        objs.append(obj)
+        clss.append(cls)
+    all_obj = jnp.concatenate(objs, axis=1)
+    all_cls = jnp.concatenate(clss, axis=1)
+    return jnp.max(all_obj, axis=1), jnp.max(all_cls, axis=1)
