@@ -147,3 +147,22 @@ def max_prob_extract(heads: Sequence[jnp.ndarray], cls_id: int,
     all_obj = jnp.concatenate(objs, axis=1)
     all_cls = jnp.concatenate(clss, axis=1)
     return jnp.max(all_obj, axis=1), jnp.max(all_cls, axis=1)
+
+
+def max_combined_prob(heads: Sequence[jnp.ndarray], cls_id: int, combiner,
+                      num_classes: int = 15, sigmoid_mode: bool = False
+                      ) -> jnp.ndarray:
+    """Per-image max over all positions of ``combiner(obj, cls[cls_id])``
+    — the det-loss used by the legacy vanishing recipes
+    (``config.loss_target`` over the flattened 22743 positions).
+    Returns [B]."""
+    vals = []
+    for head in heads:
+        b, s, _, _ = head.shape
+        x = head.reshape(b, s, s, 3, 5 + num_classes)
+        obj = x[..., 4]
+        cls = x[..., 5 + cls_id]
+        if sigmoid_mode:
+            obj, cls = jax.nn.sigmoid(obj), jax.nn.sigmoid(cls)
+        vals.append(combiner(obj, cls).reshape(b, -1))
+    return jnp.max(jnp.concatenate(vals, axis=1), axis=1)

@@ -1,0 +1,181 @@
+"""DOTA tile + YOLO label dataset and a threaded, prefetching batch loader.
+
+Replaces the reference's ``DotaDataset`` + 10-worker torch ``DataLoader``
+(load_data.py:859-982, train_patch.py:123-127). Preprocessing parity:
+
+- pair ``*.png``/``*.jpg`` with same-stem ``.txt`` labels;
+- square non-square images by gray-127 padding with label coordinate
+  fixup, then resize (bilinear) to ``img_size``;
+- empty labels -> all-ones sentinel row; pad to ``max_labels`` with 1e-6;
+- images scaled to float32 in [0, 1], **NHWC** (TPU layout).
+
+The loader overlaps host-side decode with device compute: a thread pool
+decodes images for batch N+1 while batch N is on the TPU, and batches are
+queued so the accelerator never waits on PIL.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageOps
+
+from .labels import pad_labels, read_label_file
+
+IMG_EXTENSIONS = (".png", ".jpg")
+
+
+def load_image_rgb(path: str) -> Image.Image:
+    """PIL load with EXIF orientation fixup (utils_self.load_image_file
+    parity)."""
+    img = Image.open(path)
+    img = ImageOps.exif_transpose(img)
+    return img.convert("RGB")
+
+
+def pad_and_scale(img: Image.Image, labels: np.ndarray, img_size: int
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Square by gray padding (adjusting normalized label coords), resize
+    to img_size, return float32 [0,1] HWC array + fixed labels."""
+    w, h = img.size
+    labels = labels.copy()
+    if w != h:
+        side = max(w, h)
+        canvas = Image.new("RGB", (side, side), color=(127, 127, 127))
+        if w < h:
+            pad = (h - w) / 2
+            canvas.paste(img, (int(pad), 0))
+            if labels.size:
+                labels[:, 1] = (labels[:, 1] * w + pad) / h
+                labels[:, 3] = labels[:, 3] * w / h
+        else:
+            pad = (w - h) / 2
+            canvas.paste(img, (0, int(pad)))
+            if labels.size:
+                labels[:, 2] = (labels[:, 2] * h + pad) / w
+                labels[:, 4] = labels[:, 4] * h / w
+        img = canvas
+    if img.size != (img_size, img_size):
+        img = img.resize((img_size, img_size), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return arr, labels
+
+
+class DotaDataset:
+    """Indexable image+label dataset."""
+
+    def __init__(self, img_dir: str, lab_dir: str, max_labels: int = 252,
+                 img_size: int = 608, label_cols: int = 5):
+        self.img_dir = img_dir
+        self.lab_dir = lab_dir
+        self.max_labels = max_labels
+        self.img_size = img_size
+        self.label_cols = label_cols
+        names = sorted(
+            n for n in os.listdir(img_dir)
+            if n.lower().endswith(IMG_EXTENSIONS))
+        self.names = names
+        n_labels = sum(1 for n in os.listdir(lab_dir) if n.endswith(".txt"))
+        if len(names) != n_labels:
+            raise ValueError(
+                f"image/label count mismatch: {len(names)} images vs "
+                f"{n_labels} label files")
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def label_path(self, name: str) -> str:
+        stem = os.path.splitext(name)[0]
+        return os.path.join(self.lab_dir, stem + ".txt")
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        name = self.names[idx]
+        img = load_image_rgb(os.path.join(self.img_dir, name))
+        labels = read_label_file(self.label_path(name), self.label_cols)
+        arr, labels = pad_and_scale(img, labels, self.img_size)
+        return arr, pad_labels(labels, self.max_labels, self.label_cols)
+
+
+class BatchLoader:
+    """Shuffling, drop-last-off batch iterator with threaded decode and
+    one-batch prefetch."""
+
+    def __init__(self, dataset: DotaDataset, batch_size: int,
+                 shuffle: bool = True, num_workers: int = 8,
+                 seed: int = 0, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _make_batch(self, idxs) -> Tuple[np.ndarray, np.ndarray]:
+        items = list(self.pool.map(self.dataset.__getitem__, idxs))
+        imgs = np.stack([it[0] for it in items])
+        labs = np.stack([it[1] for it in items])
+        return imgs, labs
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        n = len(self) * self.batch_size if self.drop_last else len(order)
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, n, self.batch_size)]
+        if not batches:
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = threading.Event()
+
+        def producer():
+            for idxs in batches:
+                if stop.is_set():
+                    return
+                q.put(self._make_batch(idxs))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+class SyntheticData:
+    """Deterministic random tiles + labels, for benchmarks and tests
+    (no image files needed)."""
+
+    def __init__(self, n: int, img_size: int = 608, max_labels: int = 252,
+                 seed: int = 0):
+        self.n = n
+        self.img_size = img_size
+        self.max_labels = max_labels
+        self.seed = seed
+
+    def batch(self, batch_size: int, idx: int = 0
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        rng = np.random.default_rng(self.seed + idx)
+        imgs = rng.random((batch_size, self.img_size, self.img_size, 3),
+                          dtype=np.float32)
+        labs = np.full((batch_size, self.max_labels, 5), 1e-6, np.float32)
+        n_real = rng.integers(1, 6, batch_size)
+        for i, k in enumerate(n_real):
+            labs[i, :k, 0] = rng.integers(0, 15, k)
+            labs[i, :k, 1:3] = rng.uniform(0.2, 0.8, (k, 2))
+            labs[i, :k, 3:5] = rng.uniform(0.02, 0.2, (k, 2))
+        return imgs, labs

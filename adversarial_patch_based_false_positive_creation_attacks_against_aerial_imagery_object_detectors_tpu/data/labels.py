@@ -1,0 +1,69 @@
+"""YOLO label-file I/O.
+
+Two formats flow through the pipeline (reference convention, see
+images_filter.py:112-124):
+
+- 5-col train labels: ``cls x y w h`` (normalized), produced by
+  thresholding detections at obj > 0.4;
+- 7-col eval labels: ``x y w h obj cls_conf cls_id``, all detections at
+  conf 0.01.
+
+Empty label files map to the all-ones sentinel row (DotaDataset contract,
+load_data.py:918-922); training labels are padded to ``max_labels`` rows
+with 1e-6 (load_data.py:968-978).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+import numpy as np
+
+EMPTY_SENTINEL = 1.0
+PAD_VALUE = 1e-6
+
+
+def read_label_file(path: str, ncols: int = 5) -> np.ndarray:
+    """Read a whitespace-separated label file -> [N, ncols] float32.
+    Missing or empty file -> [0, ncols]."""
+    if not os.path.exists(path) or os.path.getsize(path) == 0:
+        return np.zeros((0, ncols), dtype=np.float32)
+    arr = np.loadtxt(path, dtype=np.float32)
+    return arr.reshape(-1, ncols)
+
+
+def write_label_file(path: str, rows) -> None:
+    with open(path, "w") as f:
+        for row in rows:
+            f.write(" ".join(f"{float(v):.6f}" for v in row) + "\n")
+
+
+def pad_labels(labels: np.ndarray, max_labels: int,
+               ncols: int = 5) -> np.ndarray:
+    """Empty -> one all-ones sentinel row; then pad to max_labels rows
+    with 1e-6 (both reference quirks that downstream code relies on)."""
+    if labels.shape[0] == 0:
+        labels = np.full((1, ncols), EMPTY_SENTINEL, dtype=np.float32)
+    n = labels.shape[0]
+    if n > max_labels:
+        return labels[:max_labels].astype(np.float32)
+    out = np.full((max_labels, ncols), PAD_VALUE, dtype=np.float32)
+    out[:n] = labels
+    return out
+
+
+def count_instances(lab_dir: str) -> tuple[int, List[int]]:
+    """Total labeled instances and per-file counts over a label dir
+    (utils_self.txt_len_read parity: empty files are skipped)."""
+    total, per_file = 0, []
+    for name in sorted(os.listdir(lab_dir)):
+        if not name.endswith(".txt"):
+            continue
+        path = os.path.join(lab_dir, name)
+        if os.path.getsize(path):
+            with open(path) as f:
+                n = sum(1 for _ in f)
+            total += n
+            per_file.append(n)
+    return total, per_file

@@ -1,0 +1,42 @@
+"""Device mesh construction and shardings.
+
+The reference's only parallelism is single-host ``nn.DataParallel``
+replication (train_patch.py:63-68). The TPU-native equivalent: a 1-D
+``jax.sharding.Mesh`` over the "data" axis (ICI), batch tensors sharded on
+that axis, patch/detector params/optimizer state replicated; XLA inserts
+the gradient ``psum`` automatically from the sharding annotations under
+``jit`` — no explicit collectives needed for pure data parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Device-put arrays with the batch axis sharded over the mesh."""
+    s = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, s) for a in arrays)
+    return out if len(out) > 1 else out[0]

@@ -1,0 +1,334 @@
+"""Patch-optimization trainer.
+
+The reference's training loop (train_patch.py:85-389) re-imagined as one
+jit-compiled, mesh-sharded train step:
+
+    grads = jax.grad(total_loss)(patch, batch, key)     # whole detector
+    patch <- clip(patch - lr * amsgrad(grads), 0, 1)    # differentiated
+
+per step, with the batch sharded over the "data" mesh axis and the patch,
+detector params and optimizer state replicated — XLA inserts the gradient
+psum over ICI. Host-side epoch logic (plateau LR schedule, logging,
+checkpointing) mirrors the reference's.
+
+Differences from the reference, by design:
+
+- EOT transform + composite + detector forward/backward + cell gather +
+  all losses compile into a single XLA program; there are no per-batch
+  Python loops or host syncs (the reference's ``obj_cls_conf_find`` /
+  reshape / CE loops forced one GPU sync per image per scale).
+- The detector runs bfloat16 on the MXU (fp32 accumulation and heads);
+  patch master weights stay fp32.
+- Randomness is a threaded PRNG key carried in the train state: runs are
+  exactly reproducible, and checkpoint/resume (which the reference lacks
+  beyond patch PNGs) restores optimizer state, epoch and RNG.
+- ``debug_nans`` maps the reference's always-on
+  ``torch.autograd.detect_anomaly`` (train_patch.py:158) to
+  ``jax.config.jax_debug_nans``, off by default (it cost the reference a
+  warned slowdown; see their training log).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..attack.eot import EOTConfig, apply_eot_patch
+from ..attack.losses import (
+    colorfulness, creation_cls_ce_loss, creation_obj_loss,
+    extract_cell_scores, max_combined_prob, max_prob_extract, nps_loss,
+    total_variation,
+)
+from ..data.assets import load_printable_colors
+from ..models import darknet
+from ..models.darknet_cfg import yolov3_blocks
+from ..models.weights import load_darknet_weights
+from ..parallel.mesh import (
+    DATA_AXIS, batch_sharding, make_mesh, replicated)
+from .config import ExperimentConfig, combine_loss_target
+from .optim import scale_by_torch_amsgrad
+
+LOSS_KEYS = ("loss", "nps", "tv", "no_obj", "no_cls", "colorful", "det")
+
+
+class ReduceLROnPlateau:
+    """Host-side plateau LR schedule with torch semantics
+    (patch_config.py:32: mode='min', factor=0.1, patience=50,
+    rel threshold 1e-4)."""
+
+    def __init__(self, lr: float, factor: float = 0.1, patience: int = 50,
+                 threshold: float = 1e-4, min_lr: float = 0.0):
+        self.lr = lr
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.num_bad = 0
+        return self.lr
+
+    def state_dict(self) -> Dict[str, float]:
+        return {"lr": self.lr, "best": self.best, "num_bad": self.num_bad}
+
+    def load_state_dict(self, d: Dict[str, float]) -> None:
+        self.lr = float(d["lr"])
+        self.best = float(d["best"])
+        self.num_bad = int(d["num_bad"])
+
+
+@struct.dataclass
+class TrainState:
+    patch: jnp.ndarray          # [P, P, 3] float32 in [0, 1]
+    opt_state: Any
+    key: jax.Array
+    step: jnp.ndarray           # scalar int32
+
+
+def init_patch(exp: ExperimentConfig, key: jax.Array,
+               kind: str = "random") -> jnp.ndarray:
+    """'random' U(0,1) or 'gray' 0.5 start (generate_patch parity)."""
+    shape = (exp.patch_size, exp.patch_size, 3)
+    if kind == "gray":
+        return jnp.full(shape, 0.5, jnp.float32)
+    return jax.random.uniform(key, shape, jnp.float32)
+
+
+def make_loss_fn(net: darknet.Network, exp: ExperimentConfig,
+                 printable_colors: np.ndarray) -> Callable:
+    eot_cfg = EOTConfig(img_size=exp.img_size,
+                        scale_factor=exp.scale_factor)
+    compute_dtype = (jnp.bfloat16 if exp.compute_dtype == "bfloat16"
+                     else jnp.float32)
+    colors = jnp.asarray(printable_colors)
+    combiner = combine_loss_target(exp.loss_target)
+
+    def loss_fn(patch, params, images, labels, key):
+        patched, centers = apply_eot_patch(patch, images, labels, key,
+                                           eot_cfg)
+        heads = darknet.apply(net, params, patched, compute_dtype)
+        cell_obj, cell_cls = extract_cell_scores(
+            heads, centers, exp.img_size, exp.num_classes)
+        no_obj = creation_obj_loss(cell_obj)
+        no_cls = creation_cls_ce_loss(cell_cls, exp.target_id)
+        nps = nps_loss(patch, colors) * exp.nps_factor
+        tv = total_variation(patch) * exp.tv_factor
+        tv_floored = jnp.maximum(tv, exp.tv_floor)
+        colorful = colorfulness(patch)
+        det = jnp.zeros(())
+
+        recipe = exp.loss_recipe
+        if recipe == "creation_colorful":
+            total = nps + tv_floored + no_obj + colorful + no_cls
+        elif recipe == "creation_ce":
+            total = nps + tv_floored + no_obj + no_cls
+        elif recipe == "untargeted_obj":
+            total = nps + tv_floored + no_obj
+        elif recipe == "det_creation":
+            det = jnp.mean(max_combined_prob(
+                heads, exp.target_id, combiner, exp.num_classes,
+                sigmoid_mode=True))
+            total = det + nps + tv_floored + no_obj + no_cls
+        elif recipe == "clsconf_creation":
+            _, max_cls = max_prob_extract(
+                heads, exp.target_id, exp.num_classes, sigmoid_mode=True)
+            det = jnp.mean(max_cls)
+            total = det + nps + tv_floored + no_obj + no_cls
+        else:
+            raise ValueError(f"unknown loss recipe {recipe!r}")
+
+        aux = {"loss": total, "nps": nps, "tv": tv, "no_obj": no_obj,
+               "no_cls": no_cls, "colorful": colorful, "det": det}
+        return total, aux
+
+    return loss_fn
+
+
+def make_train_step(net: darknet.Network, exp: ExperimentConfig,
+                    printable_colors: Optional[np.ndarray] = None,
+                    mesh=None) -> Callable:
+    """Build the jitted sharded train step:
+    (state, params, images, labels, lr) -> (state, aux)."""
+    if printable_colors is None:
+        printable_colors = load_printable_colors()
+    loss_fn = make_loss_fn(net, exp, printable_colors)
+    tx = scale_by_torch_amsgrad()
+
+    def step(state: TrainState, params, images, labels, lr):
+        key, sub = jax.random.split(state.key)
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            state.patch, params, images, labels, sub)
+        updates, opt_state = tx.update(grads, state.opt_state)
+        patch = jnp.clip(state.patch - lr * updates, 0.0, 1.0)
+        new_state = TrainState(patch=patch, opt_state=opt_state, key=key,
+                               step=state.step + 1)
+        return new_state, aux
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, data, data, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def init_train_state(exp: ExperimentConfig, key: jax.Array,
+                     patch: Optional[jnp.ndarray] = None) -> TrainState:
+    pkey, skey = jax.random.split(key)
+    if patch is None:
+        patch = init_patch(exp, pkey)
+    tx = scale_by_torch_amsgrad()
+    return TrainState(patch=patch, opt_state=tx.init(patch), key=skey,
+                      step=jnp.zeros((), jnp.int32))
+
+
+def build_victim(exp: ExperimentConfig, key: Optional[jax.Array] = None
+                 ) -> Tuple[darknet.Network, darknet.Params]:
+    """Victim detector: from cfgfile or the built-in yolov3-dota spec;
+    weights from a darknet file or random init; BN folded for inference."""
+    if exp.cfgfile:
+        net = darknet.network_from_cfg(exp.cfgfile)
+    else:
+        net = darknet.build_network(yolov3_blocks(
+            num_classes=exp.num_classes, width=exp.img_size,
+            height=exp.img_size))
+    if exp.weightfile:
+        params, _ = load_darknet_weights(net, exp.weightfile)
+    else:
+        params = darknet.init_params(
+            net, key if key is not None else jax.random.PRNGKey(0))
+    return net, darknet.fold_bn(net, params)
+
+
+class PatchTrainer:
+    """End-to-end patch optimization (reference PatchTrainer parity).
+
+    Usage::
+
+        trainer = PatchTrainer(get_experiment("paper_obj"))
+        patch, history = trainer.train(loader)
+    """
+
+    def __init__(self, exp: ExperimentConfig,
+                 net: Optional[darknet.Network] = None,
+                 params: Optional[darknet.Params] = None,
+                 mesh=None, seed: int = 0,
+                 checkpoint_dir: Optional[str] = None,
+                 log: Callable[[str], None] = print):
+        self.exp = exp
+        if exp.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        if net is None or params is None:
+            net, params = build_victim(exp, jax.random.PRNGKey(seed + 1))
+        self.net = net
+        self.mesh = mesh if mesh is not None else make_mesh()
+        rep = replicated(self.mesh)
+        self.params = jax.device_put(params, rep)
+        self.step_fn = make_train_step(net, exp, mesh=self.mesh)
+        self.state = jax.device_put(
+            init_train_state(exp, jax.random.PRNGKey(seed)), rep)
+        self.scheduler = ReduceLROnPlateau(
+            exp.learning_rate, factor=exp.plateau_factor,
+            patience=exp.plateau_patience)
+        self.checkpoint_dir = checkpoint_dir
+        self.log = log
+        self.history: List[Dict[str, float]] = []
+
+    # -- single epoch ------------------------------------------------------
+
+    def run_epoch(self, batches: Iterable[Tuple[np.ndarray, np.ndarray]],
+                  epoch: int) -> Dict[str, float]:
+        data_sh = batch_sharding(self.mesh)
+        aux_log: List[Dict[str, jnp.ndarray]] = []
+        t0 = time.time()
+        for images, labels in batches:
+            images = jax.device_put(images, data_sh)
+            labels = jax.device_put(labels, data_sh)
+            self.state, aux = self.step_fn(
+                self.state, self.params, images, labels,
+                jnp.float32(self.scheduler.lr))
+            # keep aux as device scalars; realize once per epoch (no
+            # per-step host sync)
+            aux_log.append(aux)
+        jax.block_until_ready(self.state.patch)
+        n = max(len(aux_log), 1)
+        stats = {
+            k: float(np.mean([np.asarray(a[k]) for a in aux_log]))
+            if aux_log else 0.0
+            for k in LOSS_KEYS}
+        stats["epoch_time"] = time.time() - t0
+        stats["epoch"] = epoch
+        stats["num_batches"] = n
+        return stats
+
+    # -- full training -----------------------------------------------------
+
+    def train(self, make_batches: Callable[[int], Iterable],
+              epochs: Optional[int] = None) -> Tuple[np.ndarray, List[Dict]]:
+        """``make_batches(epoch)`` yields (images, labels) numpy batches."""
+        epochs = epochs if epochs is not None else self.exp.max_epochs
+        for epoch in range(epochs):
+            stats = self.run_epoch(make_batches(epoch), epoch)
+            self.scheduler.step(stats["loss"])
+            stats["lr"] = self.scheduler.lr
+            self.history.append(stats)
+            self.log(
+                f"epoch {epoch}: loss {stats['loss']:.4f} "
+                f"(no_obj {stats['no_obj']:.4f} no_cls {stats['no_cls']:.4f} "
+                f"tv {stats['tv']:.4f} nps {stats['nps']:.2e} "
+                f"colorful {stats['colorful']:.4f}) "
+                f"lr {stats['lr']:.4g} time {stats['epoch_time']:.1f}s")
+            if (self.checkpoint_dir
+                    and epoch % self.exp.checkpoint_every == 0):
+                self.save_checkpoint(epoch)
+        return np.asarray(self.state.patch), self.history
+
+    # -- checkpointing -----------------------------------------------------
+
+    def save_checkpoint(self, epoch: int) -> None:
+        from ..utils.checkpoint import save_checkpoint, save_patch_png
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        save_patch_png(
+            np.asarray(self.state.patch),
+            os.path.join(self.checkpoint_dir, f"{epoch}_patch.png"))
+        save_checkpoint(
+            os.path.join(self.checkpoint_dir, "ckpt.npz"),
+            state=self.state, epoch=epoch,
+            scheduler=self.scheduler.state_dict())
+        prev = os.path.join(self.checkpoint_dir,
+                            f"{epoch - self.exp.checkpoint_every}_patch.png")
+        if epoch > 0 and os.path.exists(prev):
+            from ..utils.checkpoint import patch_png_mse
+            mse = patch_png_mse(
+                prev, os.path.join(self.checkpoint_dir,
+                                   f"{epoch}_patch.png"))
+            self.log(f"adjacent-patch MSE: {mse:.3e}")
+
+    def restore_checkpoint(self) -> int:
+        from ..utils.checkpoint import restore_checkpoint
+        path = os.path.join(self.checkpoint_dir, "ckpt.npz")
+        state, epoch, sched = restore_checkpoint(path, self.state)
+        self.state = jax.device_put(state, replicated(self.mesh))
+        self.scheduler.load_state_dict(sched)
+        return epoch

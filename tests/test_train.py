@@ -1,0 +1,173 @@
+"""Training-loop tests on the tiny victim network, on an 8-device CPU mesh:
+loss decreases, state round-trips through checkpoints, scheduler parity
+with torch ReduceLROnPlateau, optimizer step parity with torch
+Adam(amsgrad)."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu as A
+from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu import train as T
+from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.data.dataset import SyntheticData
+from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.models import (
+    build_network, init_params, fold_bn, tiny_test_blocks)
+from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.parallel.mesh import make_mesh
+
+
+def tiny_exp(**kw):
+    base = dict(name="tiny", img_size=64, patch_size=16, batch_size=8,
+                max_labels=8, compute_dtype="float32", max_epochs=2,
+                checkpoint_every=1)
+    base.update(kw)
+    return T.ExperimentConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def tiny_victim():
+    net = build_network(tiny_test_blocks())
+    params = fold_bn(net, init_params(net, jax.random.PRNGKey(11)))
+    return net, params
+
+
+def _batches(exp, n_batches=2):
+    data = SyntheticData(n_batches * exp.batch_size, exp.img_size,
+                         exp.max_labels)
+    def make(epoch):
+        return [data.batch(exp.batch_size, epoch * 100 + i)
+                for i in range(n_batches)]
+    return make
+
+
+def test_train_step_runs_and_updates(tiny_victim):
+    net, params = tiny_victim
+    exp = tiny_exp()
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    trainer = T.PatchTrainer(exp, net=net, params=params, mesh=mesh,
+                             log=lambda s: None)
+    patch0 = np.asarray(trainer.state.patch)
+    stats = trainer.run_epoch(_batches(exp)(0), 0)
+    patch1 = np.asarray(trainer.state.patch)
+    assert np.isfinite(stats["loss"])
+    assert not np.allclose(patch0, patch1)
+    assert (patch1 >= 0).all() and (patch1 <= 1).all()
+
+
+@pytest.mark.parametrize("recipe", T.LOSS_RECIPES)
+def test_all_loss_recipes_compile(tiny_victim, recipe):
+    net, params = tiny_victim
+    exp = tiny_exp(loss_recipe=recipe)
+    loss_fn = T.make_loss_fn(net, exp,
+                             A.data.load_printable_colors())
+    data = SyntheticData(4, exp.img_size, exp.max_labels)
+    imgs, labs = data.batch(4)
+    patch = T.init_patch(exp, jax.random.PRNGKey(0))
+    (loss, aux), grads = jax.jit(jax.value_and_grad(
+        loss_fn, has_aux=True))(patch, params, jnp.asarray(imgs),
+                                jnp.asarray(labs), jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(grads)).all()
+    assert float(jnp.abs(grads).sum()) > 0
+
+
+def test_objective_actually_optimizes(tiny_victim):
+    """A few steps of the real objective should reduce the creation loss
+    on a fixed batch (sanity: gradients point the right way)."""
+    net, params = tiny_victim
+    exp = tiny_exp(loss_recipe="untargeted_obj", learning_rate=0.05)
+    loss_fn = T.make_loss_fn(net, exp, A.data.load_printable_colors())
+    data = SyntheticData(8, exp.img_size, exp.max_labels)
+    imgs, labs = data.batch(8)
+    imgs, labs = jnp.asarray(imgs), jnp.asarray(labs)
+    step = T.make_train_step(net, exp)
+    state = T.init_train_state(exp, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(42)
+    first = float(loss_fn(state.patch, params, imgs, labs, key)[0])
+    for _ in range(30):
+        state, aux = step(state, params, imgs, labs, jnp.float32(0.05))
+    last = float(loss_fn(state.patch, params, imgs, labs, key)[0])
+    assert last < first
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_victim):
+    net, params = tiny_victim
+    exp = tiny_exp()
+    trainer = T.PatchTrainer(exp, net=net, params=params,
+                             checkpoint_dir=str(tmp_path),
+                             log=lambda s: None)
+    trainer.run_epoch(_batches(exp)(0), 0)
+    trainer.scheduler.step(1.23)
+    trainer.save_checkpoint(epoch=0)
+    assert os.path.exists(tmp_path / "0_patch.png")
+
+    trainer2 = T.PatchTrainer(exp, net=net, params=params,
+                              checkpoint_dir=str(tmp_path),
+                              log=lambda s: None)
+    epoch = trainer2.restore_checkpoint()
+    assert epoch == 0
+    np.testing.assert_array_equal(np.asarray(trainer2.state.patch),
+                                  np.asarray(trainer.state.patch))
+    assert trainer2.scheduler.best == trainer.scheduler.best
+
+
+def test_scheduler_torch_parity():
+    import torch
+    lr0 = 0.03
+    ours = T.ReduceLROnPlateau(lr0, factor=0.1, patience=3)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=lr0)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, "min", factor=0.1, patience=3)
+    rng = np.random.default_rng(3)
+    losses = [5.0] + list(5.0 + rng.random(30))
+    for l in losses:
+        ours.step(l)
+        sched.step(l)
+        assert ours.lr == pytest.approx(opt.param_groups[0]["lr"])
+
+
+def test_amsgrad_torch_parity():
+    """scale_by_torch_amsgrad + lr step matches torch Adam(amsgrad=True)
+    on a deterministic quadratic."""
+    import torch
+    import optax
+
+    w0 = np.array([0.5, -0.3, 0.8], dtype=np.float32)
+    lr = 0.03
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.Adam([tw], lr=lr, amsgrad=True)
+
+    tx = T.scale_by_torch_amsgrad()
+    jw = jnp.asarray(w0)
+    state = tx.init(jw)
+
+    for i in range(20):
+        grad_t = 2 * tw + float(i % 3)
+        topt.zero_grad()
+        tw.grad = grad_t.detach().clone()
+        topt.step()
+
+        g = 2 * jw + (i % 3)
+        updates, state = tx.update(g, state)
+        jw = jw - lr * updates
+
+    np.testing.assert_allclose(np.asarray(jw), tw.detach().numpy(),
+                               atol=1e-5)
+
+
+def test_full_train_two_epochs(tmp_path, tiny_victim):
+    net, params = tiny_victim
+    exp = tiny_exp(max_epochs=2)
+    trainer = T.PatchTrainer(exp, net=net, params=params,
+                             checkpoint_dir=str(tmp_path),
+                             log=lambda s: None)
+    patch, history = trainer.train(_batches(exp), epochs=2)
+    assert len(history) == 2
+    assert patch.shape == (16, 16, 3)
+    assert {"loss", "no_obj", "lr"} <= set(history[0])
