@@ -38,13 +38,15 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.affine import affine_sample, rotation_scale_translation_theta
-from ..ops.median_pool import median_pool_nhwc
+from ..ops.affine import (
+    affine_sample_fast, rotation_scale_translation_theta)
+from ..ops.affine_mxu import affine_warp_mxu
+from ..ops.median_pool import median_pool_nhwc_fast
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,6 +65,7 @@ class EOTConfig:
     median_kernel: int = 7
     size_cols: Tuple[int, int] = (2, 3)  # reference behavior; (3,4) = w,h
     center_clamp: Tuple[float, float] = (0.2, 0.8)
+    warp_method: str = "mxu"             # "mxu" | "gather" (see warp_patch)
 
 
 def select_reference_box(labels: jnp.ndarray) -> jnp.ndarray:
@@ -116,18 +119,40 @@ def photometric_jitter(patch: jnp.ndarray, key: jax.Array, batch: int,
 
 def warp_patch(batch_patch: jnp.ndarray, angle: jnp.ndarray,
                scale: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray,
-               img_size: int):
+               img_size: int, method: str = "mxu"):
     """Geometric half of the EOT: place per-sample patches
     [B, P, P, 3] onto the image canvas at normalized centers (tx, ty)
-    with the given rotation/zoom. Returns (adv, mask)."""
+    with the given rotation/zoom. Returns (adv, mask).
+
+    ``method``: "mxu" (default) uses the matmul-factored warp
+    (ops.affine_mxu — MXU fwd+bwd, exact for axis-aligned transforms,
+    small sheared-interpolation residual under rotation); "gather" uses
+    the exact grid_sample-parity bilinear gather with the windowed-gather
+    custom VJP.
+    """
     p = batch_patch.shape[1]
     theta = rotation_scale_translation_theta(
         angle, scale, (0.5 - tx) * 2.0, (0.5 - ty) * 2.0)
     pad = (img_size - p) // 2
-    warped, mask = affine_sample(
-        batch_patch, theta, (img_size, img_size), src_hw=(img_size, img_size),
-        offset=(pad, pad), with_mask=True)
+    if method == "mxu":
+        warped, mask = affine_warp_mxu(
+            batch_patch, theta, (img_size, img_size),
+            src_hw=(img_size, img_size), offset=(pad, pad))
+    else:
+        warped, mask = affine_sample_fast(
+            batch_patch, theta, (img_size, img_size),
+            src_hw=(img_size, img_size), offset=(pad, pad),
+            window=max_zoom_window(img_size, p))
     return jnp.clip(warped, 0.0, 1.0) * mask, mask
+
+
+def max_zoom_window(img_size: int, patch_size: int,
+                    scale_factor: float = 2.0) -> int:
+    """Backward-gather window covering the worst-case EOT zoom: target
+    size <= sqrt(2)*img/scale_factor, so zoom <= that / patch_size and
+    the window needs ceil(zoom*sqrt(2)) + 1 output pixels of slack."""
+    max_zoom = math.sqrt(2.0) * img_size / (scale_factor * patch_size)
+    return int(math.ceil(max_zoom * math.sqrt(2.0))) + 1
 
 
 def transform_patch(patch: jnp.ndarray, labels: jnp.ndarray, key: jax.Array,
@@ -144,7 +169,7 @@ def transform_patch(patch: jnp.ndarray, labels: jnp.ndarray, key: jax.Array,
     b = labels.shape[0]
     k_jit, k_geom, k_angle = jax.random.split(key, 3)
 
-    smoothed = median_pool_nhwc(patch, cfg.median_kernel)
+    smoothed = median_pool_nhwc_fast(patch, cfg.median_kernel)
     if cfg.photometric:
         batch_patch = photometric_jitter(smoothed, k_jit, b, cfg)
     else:
@@ -159,7 +184,8 @@ def transform_patch(patch: jnp.ndarray, labels: jnp.ndarray, key: jax.Array,
     else:
         angle = jnp.zeros((b,))
 
-    adv, mask = warp_patch(batch_patch, angle, scale, tx, ty, s)
+    adv, mask = warp_patch(batch_patch, angle, scale, tx, ty, s,
+                           method=cfg.warp_method)
     return adv, mask, centers
 
 

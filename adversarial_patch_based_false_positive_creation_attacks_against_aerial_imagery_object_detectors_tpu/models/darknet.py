@@ -222,18 +222,21 @@ def _activate(x: jnp.ndarray, activation: str) -> jnp.ndarray:
 def _conv_layer(x: jnp.ndarray, spec: ConvSpec, p: Dict[str, jnp.ndarray],
                 compute_dtype) -> jnp.ndarray:
     w = p["w"].astype(compute_dtype)
+    # no preferred_element_type: the MXU accumulates bf16 convs in fp32
+    # internally, and mixed in/out dtypes break the transpose (backward)
+    # conv. Activations stay in compute_dtype end to end; heads are cast
+    # to fp32 at collection.
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype), w,
         window_strides=(spec.stride, spec.stride),
         padding=[(spec.pad, spec.pad), (spec.pad, spec.pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if "gamma" in p:  # unfolded BN (eval-mode affine)
         s = p["gamma"] / jnp.sqrt(p["var"] + BN_EPS)
-        y = y * s + (p["beta"] - p["mean"] * s)
+        y = y * s.astype(y.dtype) + (p["beta"] - p["mean"] * s).astype(y.dtype)
     else:
-        y = y + p["b"]
+        y = y + p["b"].astype(y.dtype)
     return _activate(y, spec.activation)
 
 

@@ -59,3 +59,87 @@ def median_pool_nhwc(x: jnp.ndarray, k: int = 7, stride: int = 1) -> jnp.ndarray
     x_hw_last = jnp.moveaxis(x, -1, -3)  # [..., C, H, W]
     out = median_pool_2d(x_hw_last, k, stride)
     return jnp.moveaxis(out, -3, -1)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP fast path (stride 1)
+# ---------------------------------------------------------------------------
+#
+# The autodiff backward of sort routes the cotangent through a scatter —
+# slow on TPU. The median's subgradient only needs the *selected element's*
+# position: we recompute the k*k shifted windows, pick the same element the
+# stable sort picked (the ((n-1)//2 - #less)-th tied occurrence), and
+# accumulate the cotangent with k*k static shifted adds plus a static
+# reflect-padding fold. No scatter, fully fusible.
+
+def _windows(xp: jnp.ndarray, k: int, oh: int, ow: int):
+    return [xp[..., di:di + oh, dj:dj + ow]
+            for di in range(k) for dj in range(k)]
+
+
+def _reflect_fold(dpad: jnp.ndarray, h: int, w: int, pt: int, pb: int,
+                  pl: int, pr: int) -> jnp.ndarray:
+    """Adjoint of reflect padding: fold border cotangents back inside."""
+    rows = dpad[..., pt:pt + h, :]
+    if pt:
+        rows = rows.at[..., 1:pt + 1, :].add(
+            jnp.flip(dpad[..., :pt, :], axis=-2))
+    if pb:
+        rows = rows.at[..., h - 1 - pb:h - 1, :].add(
+            jnp.flip(dpad[..., pt + h:, :], axis=-2))
+    out = rows[..., :, pl:pl + w]
+    if pl:
+        out = out.at[..., :, 1:pl + 1].add(
+            jnp.flip(rows[..., :, :pl], axis=-1))
+    if pr:
+        out = out.at[..., :, w - 1 - pr:w - 1].add(
+            jnp.flip(rows[..., :, pl + w:], axis=-1))
+    return out
+
+
+def median_pool_2d_fast(x: jnp.ndarray, k: int = 7) -> jnp.ndarray:
+    """``median_pool_2d`` (stride 1) with a scatter-free custom VJP whose
+    subgradient choice matches the sort-based autodiff exactly."""
+
+    @jax.custom_vjp
+    def _mp(x):
+        return median_pool_2d(x, k, 1)
+
+    def _fwd(x):
+        med = median_pool_2d(x, k, 1)
+        return med, (x, med)
+
+    def _bwd(res, g):
+        x, med = res
+        *lead, h, w = x.shape
+        pt, pb = _same_pad_amounts(h, k, 1)
+        pl, pr = _same_pad_amounts(w, k, 1)
+        pad_width = [(0, 0)] * len(lead) + [(pt, pb), (pl, pr)]
+        xp = jnp.pad(x, pad_width, mode="reflect")
+        wins = _windows(xp, k, h, w)
+        # occurrence index the stable sort selected among ties
+        n_mid = (k * k - 1) // 2
+        less = sum((wv < med).astype(jnp.int32) for wv in wins)
+        target = n_mid - less + 1          # 1-based tied-occurrence rank
+        csum = jnp.zeros_like(less)
+        dpad = jnp.zeros(xp.shape, x.dtype)
+        for idx, wv in enumerate(wins):
+            di, dj = divmod(idx, k)
+            eq = wv == med
+            csum = csum + eq.astype(jnp.int32)
+            sel = eq & (csum == target)
+            contrib = jnp.where(sel, g, 0.0)
+            pads = ([(0, 0)] * len(lead)
+                    + [(di, xp.shape[-2] - h - di),
+                       (dj, xp.shape[-1] - w - dj)])
+            dpad = dpad + jnp.pad(contrib, pads)
+        return (_reflect_fold(dpad, h, w, pt, pb, pl, pr),)
+
+    _mp.defvjp(_fwd, _bwd)
+    return _mp(x)
+
+
+def median_pool_nhwc_fast(x: jnp.ndarray, k: int = 7) -> jnp.ndarray:
+    x_hw_last = jnp.moveaxis(x, -1, -3)
+    out = median_pool_2d_fast(x_hw_last, k)
+    return jnp.moveaxis(out, -3, -1)

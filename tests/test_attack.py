@@ -46,7 +46,7 @@ def _torch_eot_oracle(patch_b_hw3, angle, scale, tx_c, ty_c, img_size):
     return out.numpy().transpose(0, 2, 3, 1)
 
 
-def test_warp_patch_matches_reference_formulation(rng):
+def test_warp_patch_gather_matches_reference_formulation(rng):
     b, p, img = 3, 16, 48
     patch = rng.random((b, p, p, 3), dtype=np.float32)
     angle = rng.uniform(-np.pi, np.pi, b).astype(np.float32)
@@ -55,9 +55,57 @@ def test_warp_patch_matches_reference_formulation(rng):
     ty = rng.uniform(0.0, 0.8, b).astype(np.float32)
     adv, mask = attack.warp_patch(
         jnp.asarray(patch), jnp.asarray(angle), jnp.asarray(scale),
-        jnp.asarray(tx), jnp.asarray(ty), img)
+        jnp.asarray(tx), jnp.asarray(ty), img, method="gather")
     oracle = _torch_eot_oracle(patch, angle, scale, tx, ty, img)
     np.testing.assert_allclose(np.asarray(adv), oracle, atol=1e-5)
+
+
+def test_warp_patch_mxu_axis_aligned_exact(rng):
+    """For angle in {0, +-90, 180}, the matmul-factored warp is exactly
+    the bilinear warp (tensor-product separability)."""
+    b, p, img = 4, 16, 48
+    patch = rng.random((b, p, p, 3), dtype=np.float32)
+    angle = np.array([0.0, np.pi / 2, -np.pi / 2, np.pi], np.float32)
+    scale = rng.uniform(0.3, 1.5, b).astype(np.float32)
+    tx = rng.uniform(0.2, 1.0, b).astype(np.float32)
+    ty = rng.uniform(0.0, 0.8, b).astype(np.float32)
+    adv_m, mask_m = attack.warp_patch(
+        jnp.asarray(patch), jnp.asarray(angle), jnp.asarray(scale),
+        jnp.asarray(tx), jnp.asarray(ty), img, method="mxu")
+    oracle = _torch_eot_oracle(patch, angle, scale, tx, ty, img)
+    np.testing.assert_allclose(np.asarray(adv_m), oracle, atol=1e-4)
+
+
+def test_warp_patch_mxu_rotated_close(rng):
+    """Under rotation the sheared tensor-product interpolation differs
+    from 2-D bilinear only by a small residual."""
+    b, p, img = 6, 16, 48
+    patch = rng.random((b, p, p, 3), dtype=np.float32)
+    angle = rng.uniform(-np.pi, np.pi, b).astype(np.float32)
+    scale = rng.uniform(0.4, 1.5, b).astype(np.float32)
+    tx = rng.uniform(0.3, 0.7, b).astype(np.float32)
+    ty = rng.uniform(0.3, 0.7, b).astype(np.float32)
+    args = [jnp.asarray(v) for v in (patch, angle, scale, tx, ty)]
+    adv_m, _ = attack.warp_patch(*args, img, method="mxu")
+    adv_g, _ = attack.warp_patch(*args, img, method="gather")
+    diff = np.abs(np.asarray(adv_m) - np.asarray(adv_g))
+    assert diff.mean() < 0.01
+    # same support: both place mass in the same region
+    assert (np.asarray(adv_m).sum(axis=(1, 2, 3)) > 0).all()
+
+
+def test_warp_patch_mxu_grad():
+    patch = jnp.asarray(np.random.default_rng(0).random((2, 8, 8, 3),
+                                                        np.float32))
+    def loss(p):
+        adv, _ = attack.warp_patch(
+            p, jnp.asarray([0.5, -2.0]), jnp.asarray([0.8, 0.5]),
+            jnp.asarray([0.5, 0.4]), jnp.asarray([0.5, 0.6]), 32,
+            method="mxu")
+        return jnp.sum(adv ** 2)
+    g = jax.grad(loss)(patch)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
 
 
 def test_paste_patch_zero_transparency():

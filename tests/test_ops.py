@@ -185,3 +185,74 @@ def test_class_names_and_colors():
     colors = assets.load_printable_colors()
     assert colors.shape == (30, 3)
     assert (colors >= 0).all() and (colors <= 1).all()
+
+
+def test_affine_sample_fast_grad_matches_autodiff(rng):
+    """Custom-VJP windowed-gather backward == autodiff scatter backward
+    of the plain warp, across rotation/zoom regimes incl. zoom > 1."""
+    b, p, img = 2, 12, 40
+    patch = rng.random((b, p, p, 3), dtype=np.float32)
+    for zoom in (0.3, 0.9, 1.7):
+        theta = np.asarray(ops.rotation_scale_translation_theta(
+            jnp.asarray(rng.uniform(-np.pi, np.pi, b).astype(np.float32)),
+            jnp.asarray(np.full(b, zoom, np.float32)),
+            jnp.asarray(rng.uniform(-0.5, 0.5, b).astype(np.float32)),
+            jnp.asarray(rng.uniform(-0.5, 0.5, b).astype(np.float32))))
+        pad = (img - p) // 2
+        cot = rng.random((b, img, img, 3), dtype=np.float32)
+
+        def loss_plain(x):
+            out, mask = ops.affine_sample(
+                x, jnp.asarray(theta), (img, img), src_hw=(img, img),
+                offset=(pad, pad), with_mask=True)
+            return jnp.sum(out * jnp.asarray(cot)) + jnp.sum(mask)
+
+        def loss_fast(x):
+            out, mask = ops.affine_sample_fast(
+                x, jnp.asarray(theta), (img, img), src_hw=(img, img),
+                offset=(pad, pad), window=4)
+            return jnp.sum(out * jnp.asarray(cot)) + jnp.sum(mask)
+
+        g_plain = np.asarray(jax.grad(loss_plain)(jnp.asarray(patch)))
+        g_fast = np.asarray(jax.grad(loss_fast)(jnp.asarray(patch)))
+        np.testing.assert_allclose(g_fast, g_plain, atol=1e-4,
+                                   err_msg=f"zoom={zoom}")
+
+
+def test_affine_sample_fast_forward_matches_plain(rng):
+    b, p, img = 2, 8, 24
+    patch = rng.random((b, p, p, 3), dtype=np.float32)
+    theta = np.asarray(ops.rotation_scale_translation_theta(
+        jnp.asarray([0.7, -2.1]), jnp.asarray([0.5, 1.2]),
+        jnp.asarray([0.2, -0.3]), jnp.asarray([0.1, 0.4])), np.float32)
+    pad = (img - p) // 2
+    out_p, mask_p = ops.affine_sample(
+        jnp.asarray(patch), jnp.asarray(theta), (img, img),
+        src_hw=(img, img), offset=(pad, pad), with_mask=True)
+    out_f, mask_f = ops.affine_sample_fast(
+        jnp.asarray(patch), jnp.asarray(theta), (img, img),
+        src_hw=(img, img), offset=(pad, pad))
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mask_f), np.asarray(mask_p),
+                               atol=1e-6)
+
+
+def test_median_pool_fast_matches_plain_grad(rng):
+    x = rng.random((3, 20, 20), dtype=np.float32)
+    # inject ties (clamped-flat regions) to exercise tie-breaking parity
+    x[:, 5:9, 5:9] = 0.0
+    x[:, 12:15, 2:6] = 1.0
+    xj = jnp.asarray(x)
+    cot = jnp.asarray(rng.random((3, 20, 20), dtype=np.float32))
+    for k in (3, 7):
+        out_plain = ops.median_pool_2d(xj, k, 1)
+        out_fast = ops.median_pool_2d_fast(xj, k)
+        np.testing.assert_array_equal(np.asarray(out_fast),
+                                      np.asarray(out_plain))
+        g_plain = jax.grad(
+            lambda v: jnp.sum(ops.median_pool_2d(v, k, 1) * cot))(xj)
+        g_fast = jax.grad(
+            lambda v: jnp.sum(ops.median_pool_2d_fast(v, k) * cot))(xj)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_plain),
+                                   atol=1e-6, err_msg=f"k={k}")
