@@ -7,3 +7,10 @@ from .losses import (
     creation_obj_loss, creation_cls_ce_loss, creation_cls_margin_loss,
     max_prob_extract,
 )
+from .eot_eval import (
+    EvalEOTConfig, transform_patch_eval, interference_map,
+    select_reference_box_7col, mask_semi_edge,
+)
+from .vanishing import (
+    VanishingConfig, transform_patch_vanishing, paste_vanishing,
+)

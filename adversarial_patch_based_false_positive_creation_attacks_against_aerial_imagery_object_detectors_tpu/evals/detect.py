@@ -1,0 +1,108 @@
+"""Detection path: image -> 3 raw heads -> decode -> threshold -> NMS.
+
+The ``do_detect`` contract (reference utils.py:450-519): pad/resize the
+image, forward, decode each head with the (quirk-paired) anchor group,
+keep boxes with obj*cls_max > conf_thresh, normalize, greedy-NMS at
+nms_thresh; each detection is the 7-tuple
+``[x, y, w, h, obj, cls_conf, cls_id]`` (normalized xywh).
+
+TPU-first: decode + thresholding are one jitted batched pass over all
+22743 candidates; only the (fixed-size, top-k pruned) survivor set goes
+to the host for the final greedy NMS — the reference instead looped over
+every grid cell in Python.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.assets import load_anchor_groups
+from ..models import darknet
+from ..ops.decode import decode_all_heads
+from ..ops.nms import greedy_nms_host
+
+MAX_CANDIDATES = 1024
+
+
+class Detector:
+    """Jit-compiled victim-detector inference wrapper."""
+
+    def __init__(self, net: darknet.Network, params: darknet.Params,
+                 anchor_groups: Optional[np.ndarray] = None,
+                 img_size: int = 608, num_classes: int = 15,
+                 compute_dtype=jnp.bfloat16,
+                 max_candidates: int = MAX_CANDIDATES):
+        self.net = net
+        self.params = params
+        self.img_size = img_size
+        self.num_classes = num_classes
+        self.anchor_groups = (anchor_groups if anchor_groups is not None
+                              else load_anchor_groups())
+        self.max_candidates = max_candidates
+
+        @jax.jit
+        def _infer(params, images):
+            heads = darknet.apply(net, params, images, compute_dtype)
+            boxes, obj, cls = decode_all_heads(
+                heads, self.anchor_groups, (img_size, img_size),
+                num_classes)
+            cls_conf = jnp.max(cls, axis=-1)
+            cls_id = jnp.argmax(cls, axis=-1)
+            score = obj * cls_conf
+            # top-k prune on device; host applies the threshold + NMS
+            top_score, top_idx = jax.lax.top_k(score, max_candidates)
+            take = lambda v: jnp.take_along_axis(v, top_idx, axis=1)
+            out = {
+                "boxes": jnp.take_along_axis(
+                    boxes, top_idx[..., None], axis=1),
+                "obj": take(obj),
+                "cls_conf": take(cls_conf),
+                "cls_id": take(cls_id),
+                "score": top_score,
+            }
+            return out
+
+        self._infer = _infer
+
+    def forward_heads(self, images: np.ndarray):
+        """Raw heads (NHWC) for a [B, S, S, 3] batch."""
+        return darknet.apply(self.net, self.params, jnp.asarray(images))
+
+    def detect_batch(self, images: np.ndarray, conf_thresh: float,
+                     nms_thresh: float) -> List[np.ndarray]:
+        """Detect on a [B, S, S, 3] float batch. Returns per-image [N, 7]
+        arrays (x, y, w, h, obj, cls_conf, cls_id), NMS'd, normalized."""
+        out = self._infer(self.params, jnp.asarray(images))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        results = []
+        for i in range(images.shape[0]):
+            keep = out["score"][i] > conf_thresh
+            boxes = out["boxes"][i][keep]
+            obj = out["obj"][i][keep]
+            cls_conf = out["cls_conf"][i][keep]
+            cls_id = out["cls_id"][i][keep]
+            # reference NMS sorts by obj conf (utils.py:99)
+            kept = greedy_nms_host(boxes, obj, nms_thresh)
+            det = np.concatenate([
+                boxes[kept], obj[kept, None], cls_conf[kept, None],
+                cls_id[kept, None].astype(np.float32)], axis=1)
+            results.append(det.astype(np.float32))
+        return results
+
+    def detect(self, image: np.ndarray, conf_thresh: float,
+               nms_thresh: float) -> np.ndarray:
+        """Single image [S, S, 3] -> [N, 7] detections."""
+        return self.detect_batch(image[None], conf_thresh, nms_thresh)[0]
+
+
+def detections_to_label_rows(dets: np.ndarray, with_conf: bool = True
+                             ) -> np.ndarray:
+    """7-col rows as-is, or 5-col ``cls x y w h`` training rows."""
+    if with_conf:
+        return dets
+    return np.concatenate([dets[:, 6:7], dets[:, 0:4]], axis=1)
