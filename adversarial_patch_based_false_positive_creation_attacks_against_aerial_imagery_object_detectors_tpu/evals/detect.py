@@ -55,7 +55,8 @@ class Detector:
             cls_id = jnp.argmax(cls, axis=-1)
             score = obj * cls_conf
             # top-k prune on device; host applies the threshold + NMS
-            top_score, top_idx = jax.lax.top_k(score, max_candidates)
+            k = min(max_candidates, score.shape[1])
+            top_score, top_idx = jax.lax.top_k(score, k)
             take = lambda v: jnp.take_along_axis(v, top_idx, axis=1)
             out = {
                 "boxes": jnp.take_along_axis(

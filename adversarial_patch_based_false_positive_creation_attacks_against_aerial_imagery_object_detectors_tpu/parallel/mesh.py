@@ -26,6 +26,19 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_mesh_for_batch(batch_size: int,
+                        devices: Optional[Sequence[jax.Device]] = None
+                        ) -> Mesh:
+    """Data-parallel mesh over the largest device count that divides the
+    batch (a 4-image batch on an 8-device host uses 4 devices)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (DATA_AXIS,))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis across the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -52,7 +52,7 @@ from ..models import darknet
 from ..models.darknet_cfg import yolov3_blocks
 from ..models.weights import load_darknet_weights
 from ..parallel.mesh import (
-    DATA_AXIS, batch_sharding, make_mesh, replicated)
+    DATA_AXIS, batch_sharding, make_mesh, make_mesh_for_batch, replicated)
 from .config import ExperimentConfig, combine_loss_target
 from .optim import scale_by_torch_amsgrad
 
@@ -242,7 +242,8 @@ class PatchTrainer:
         if net is None or params is None:
             net, params = build_victim(exp, jax.random.PRNGKey(seed + 1))
         self.net = net
-        self.mesh = mesh if mesh is not None else make_mesh()
+        self.mesh = (mesh if mesh is not None
+                     else make_mesh_for_batch(exp.batch_size))
         rep = replicated(self.mesh)
         self.params = jax.device_put(params, rep)
         self.step_fn = make_train_step(net, exp, mesh=self.mesh)
