@@ -173,7 +173,7 @@ class SyntheticData:
         imgs = rng.random((batch_size, self.img_size, self.img_size, 3),
                           dtype=np.float32)
         labs = np.full((batch_size, self.max_labels, 5), 1e-6, np.float32)
-        n_real = rng.integers(1, 6, batch_size)
+        n_real = rng.integers(1, min(6, self.max_labels + 1), batch_size)
         for i, k in enumerate(n_real):
             labs[i, :k, 0] = rng.integers(0, 15, k)
             labs[i, :k, 1:3] = rng.uniform(0.2, 0.8, (k, 2))

@@ -257,3 +257,92 @@ def test_torch_parity(rng):
     ours_heads = M.apply(net_y, params, jnp.asarray(x))
     ours_final = np.asarray(ours_heads[0]).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(ours_final, theirs, atol=1e-4, rtol=1e-4)
+
+
+def _torch_forward_heads(blocks, params_np, x_nchw):
+    """Torch-oracle full-network walk collecting raw yolo heads."""
+    import torch
+    torch.set_grad_enabled(False)
+    outputs, heads = [], []
+    cur = torch.from_numpy(x_nchw)
+    for i, block in enumerate(blocks[1:]):
+        kind = block["type"]
+        if kind == "convolutional":
+            import torch.nn.functional as F
+            p = params_np[f"conv_{i}"]
+            w = torch.from_numpy(np.ascontiguousarray(
+                p["w"].transpose(3, 2, 0, 1)))
+            size, stride = int(block["size"]), int(block["stride"])
+            bias = None if "gamma" in p else torch.from_numpy(p["b"])
+            cur = F.conv2d(cur, w, bias, stride=stride,
+                           padding=(size - 1) // 2)
+            if "gamma" in p:
+                cur = F.batch_norm(
+                    cur, torch.from_numpy(p["mean"]),
+                    torch.from_numpy(p["var"]),
+                    torch.from_numpy(p["gamma"]),
+                    torch.from_numpy(p["beta"]), training=False, eps=1e-5)
+            if block.get("activation") == "leaky":
+                cur = torch.nn.functional.leaky_relu(cur, 0.1)
+        elif kind == "upsample":
+            cur = torch.nn.functional.interpolate(
+                cur, scale_factor=int(block["stride"]), mode="nearest")
+        elif kind == "route":
+            srcs = [(i + int(s)) if int(s) < 0 else int(s)
+                    for s in block["layers"].split(",")]
+            cur = torch.cat([outputs[s] for s in srcs], 1)
+        elif kind == "shortcut":
+            frm = int(block["from"])
+            cur = outputs[i - 1] + outputs[i + frm if frm < 0 else frm]
+        elif kind == "yolo":
+            heads.append(cur.numpy())
+        outputs.append(cur)
+    return heads
+
+
+def test_full_yolov3_forward_torch_parity(tmp_path, rng):
+    """The full 75-conv yolov3-dota graph (random weights, round-tripped
+    through the darknet binary format) matches a torch oracle at every
+    head, at 160x160 input."""
+    blocks = M.yolov3_blocks(width=160, height=160)
+    net = M.build_network(blocks)
+    params = M.init_params(net, jax.random.PRNGKey(42))
+    # randomize BN stats so folding and the loader are non-trivial
+    def jitter(p, key):
+        out = dict(p)
+        for k in ("gamma", "beta", "mean"):
+            if k in out:
+                key, sub = jax.random.split(key)
+                out[k] = out[k] + 0.2 * jax.random.normal(sub, out[k].shape)
+        if "var" in out:
+            key, sub = jax.random.split(key)
+            out["var"] = jnp.abs(out["var"] + 0.1 * jax.random.normal(
+                sub, out["var"].shape)) + 0.05
+        return out
+    keys = jax.random.split(jax.random.PRNGKey(43), len(params))
+    params = {name: jitter(p, k)
+              for (name, p), k in zip(sorted(params.items()), keys)}
+    # damp kernels so activations stay O(1) through 75 random layers
+    # (unnormalized residual stacks otherwise amplify float-assoc noise)
+    params = {name: {k: v * 0.55 if k == "w" else v
+                     for k, v in p.items()}
+              for name, p in params.items()}
+
+    # round-trip through the darknet binary format
+    wpath = tmp_path / "rt.weights"
+    M.save_darknet_weights(net, params, wpath)
+    params_rt, _ = M.load_darknet_weights(net, wpath)
+
+    x = rng.standard_normal((1, 160, 160, 3), dtype=np.float32) * 0.5
+    ours = M.apply(net, params_rt, jnp.asarray(x))
+    ours_folded = M.apply(net, M.fold_bn(net, params_rt), jnp.asarray(x))
+
+    params_np = jax.tree.map(np.asarray, params_rt)
+    theirs = _torch_forward_heads(blocks, params_np,
+                                  x.transpose(0, 3, 1, 2))
+    assert len(ours) == len(theirs) == 3
+    for o, of, t in zip(ours, ours_folded, theirs):
+        o = np.asarray(o).transpose(0, 3, 1, 2)
+        of = np.asarray(of).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(o, t, atol=2e-3, rtol=1e-3)
+        np.testing.assert_allclose(of, t, atol=5e-3, rtol=2e-3)
