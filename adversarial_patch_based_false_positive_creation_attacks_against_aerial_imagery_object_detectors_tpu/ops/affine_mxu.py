@@ -46,11 +46,15 @@ def _hat(t: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
+# elementwise budget for one interpolation-matrix chunk (fp32 elements);
+# bounds peak temp memory at ~256 MB regardless of batch size
+_CHUNK_BUDGET = 64 * 1024 * 1024
+
+
 def affine_warp_mxu(img: jnp.ndarray, theta: jnp.ndarray,
                     out_hw: Tuple[int, int],
                     src_hw: Optional[Tuple[int, int]] = None,
-                    offset: Tuple[float, float] = (0.0, 0.0),
-                    chunk: int = 152):
+                    offset: Tuple[float, float] = (0.0, 0.0)):
     """Warp square ``img`` [B, P, P, C] by per-sample affines ``theta``
     (affine_grid convention; non-differentiable). Returns
     (out [B, oh, ow, C], mask [B, oh, ow, 1]).
@@ -88,25 +92,33 @@ def affine_warp_mxu(img: jnp.ndarray, theta: jnp.ndarray,
     Xs = jnp.arange(ow, dtype=f32)
     Ys = jnp.arange(oh, dtype=f32)
 
-    # ---- pass X: [B, h, ow, C+1] = M1 @ img rows --------------------------
+    # ---- pass X: [B, h, ow, C+1] = M1 @ img rows, chunked over y ----------
     # M1[b, y, X, x] = hat(p X + q y + u1 - x)
-    argx = (p[:, None, None] * Xs[None, None, :]
-            + q[:, None, None] * ys[None, :, None]
-            + u1[:, None, None])                         # [B, h, ow]
-    m1 = _hat(argx[..., None] - xs)                      # [B, h, ow, w]
-    mid = jnp.einsum("byXx,byxc->byXc", m1.astype(img.dtype), x4)
+    y_chunk = max(8, min(h, _CHUNK_BUDGET // max(b * ow * w, 1)))
+    mids = []
+    for y0 in range(0, h, y_chunk):
+        yc = ys[y0:y0 + y_chunk]
+        argx = (p[:, None, None] * Xs[None, None, :]
+                + q[:, None, None] * yc[None, :, None]
+                + u1[:, None, None])                     # [B, yc, ow]
+        m1 = _hat(argx[..., None] - xs)                  # [B, yc, ow, w]
+        mids.append(jnp.einsum(
+            "byXx,byxc->byXc", m1.astype(img.dtype),
+            x4[:, y0:y0 + y_chunk]))
+    mid = jnp.concatenate(mids, axis=1)                  # [B, h, ow, C+1]
 
     # ---- pass Y: [B, oh, ow, C+1], chunked over output columns -----------
     # M2[b, X, Y, y] = hat(r X + s Y + v2 - y),  r = A21, s = A22, v2 = B2
+    x_chunk = max(8, min(ow, _CHUNK_BUDGET // max(b * oh * h, 1)))
     outs = []
-    for x0 in range(0, ow, chunk):
-        xc = Xs[x0:x0 + chunk]
+    for x0 in range(0, ow, x_chunk):
+        xc = Xs[x0:x0 + x_chunk]
         arg = (A21[:, None, None] * xc[None, :, None]
                + A22[:, None, None] * Ys[None, None, :]
                + B2[:, None, None])                      # [B, cw, oh]
         m2 = _hat(arg[..., None] - ys)                   # [B, cw, oh, h]
         outs.append(jnp.einsum(
             "bXYy,byXc->bYXc", m2.astype(img.dtype),
-            mid[:, :, x0:x0 + chunk, :]))
+            mid[:, :, x0:x0 + x_chunk, :]))
     out4 = jnp.concatenate(outs, axis=2)                 # [B, oh, ow, C+1]
     return out4[..., :c], out4[..., c:]
