@@ -67,7 +67,12 @@ def interference_map(labels: np.ndarray, semi_edge: float,
                      img_size: int) -> np.ndarray:
     """Occupancy map over the canvas (inter_axis_cal parity, including
     the early-termination layer-dropping rules). labels: [L, 7]
-    normalized. Returns [S, S] float; free cells are exactly 0."""
+    normalized. Returns [S, S] float; free cells are exactly 0.
+    Uses the native C++ kernel when available."""
+    from ..utils import native
+    out = native.interference_map(labels, semi_edge, img_size)
+    if out is not None:
+        return out
     se = int(semi_edge)
     labs = labels * img_size
     order = np.argsort(labs[:, 2] * labs[:, 3], kind="stable")

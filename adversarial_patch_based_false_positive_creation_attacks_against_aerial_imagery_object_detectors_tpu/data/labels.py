@@ -26,9 +26,17 @@ PAD_VALUE = 1e-6
 
 def read_label_file(path: str, ncols: int = 5) -> np.ndarray:
     """Read a whitespace-separated label file -> [N, ncols] float32.
-    Missing or empty file -> [0, ncols]."""
+    Missing or empty file -> [0, ncols]. Uses the native float parser
+    when available (np.loadtxt dominates directory-scale scans)."""
     if not os.path.exists(path) or os.path.getsize(path) == 0:
         return np.zeros((0, ncols), dtype=np.float32)
+    from ..utils import native
+    if native.available():
+        with open(path, "rb") as f:
+            text = f.read()
+        vals = native.parse_floats(text, max_out=len(text))
+        if vals is not None and len(vals) % ncols == 0 and len(vals):
+            return vals.reshape(-1, ncols)
     arr = np.loadtxt(path, dtype=np.float32)
     return arr.reshape(-1, ncols)
 

@@ -47,10 +47,15 @@ def iou_xywh_matrix(boxes_a, boxes_b, xp=np):
 def greedy_nms_host(boxes: np.ndarray, scores: np.ndarray,
                     iou_thresh: float) -> np.ndarray:
     """Greedy NMS on host. boxes [N,4] xywh, scores [N]. Returns kept
-    indices in descending-score order."""
+    indices in descending-score order. Uses the native C++ kernel when
+    available (utils/native.py)."""
     n = len(scores)
     if n == 0:
         return np.zeros((0,), dtype=np.int64)
+    from ..utils import native
+    kept = native.greedy_nms(boxes, scores, iou_thresh)
+    if kept is not None:
+        return kept
     order = np.argsort(-scores, kind="stable")
     iou = iou_xywh_matrix(boxes[order], boxes[order])
     alive = np.ones(n, dtype=bool)
