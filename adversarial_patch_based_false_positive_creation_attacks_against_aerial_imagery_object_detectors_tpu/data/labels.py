@@ -24,16 +24,22 @@ EMPTY_SENTINEL = 1.0
 PAD_VALUE = 1e-6
 
 
-def read_label_file(path: str, ncols: int = 5) -> np.ndarray:
+def read_label_file(path: str, ncols: int | None = 5) -> np.ndarray:
     """Read a whitespace-separated label file -> [N, ncols] float32.
-    Missing or empty file -> [0, ncols]. Uses the native float parser
-    when available (np.loadtxt dominates directory-scale scans)."""
+    ``ncols=None`` infers the column count from the first line (the
+    reference parses rows token-wise, so 5- and 7-col files coexist).
+    Missing or empty file -> [0, ncols or 5]. Uses the native float
+    parser when available (np.loadtxt dominates directory-scale scans).
+    """
     if not os.path.exists(path) or os.path.getsize(path) == 0:
-        return np.zeros((0, ncols), dtype=np.float32)
+        return np.zeros((0, ncols or 5), dtype=np.float32)
+    with open(path, "rb") as f:
+        text = f.read()
+    if ncols is None:
+        first = text.split(b"\n", 1)[0].split()
+        ncols = max(len(first), 1)
     from ..utils import native
     if native.available():
-        with open(path, "rb") as f:
-            text = f.read()
         vals = native.parse_floats(text, max_out=len(text))
         if vals is not None and len(vals) % ncols == 0 and len(vals):
             return vals.reshape(-1, ncols)
@@ -75,3 +81,12 @@ def count_instances(lab_dir: str) -> tuple[int, List[int]]:
             total += n
             per_file.append(n)
     return total, per_file
+
+
+def filter_min_box_scale(labels: np.ndarray,
+                         min_box_scale: float) -> np.ndarray:
+    """Drop rows whose width (col 3) is below min_box_scale
+    (utils.read_truths_args parity)."""
+    if labels.size == 0:
+        return labels
+    return labels[labels[:, 3] >= min_box_scale]

@@ -31,7 +31,9 @@ Labels = Union[str, Sequence[np.ndarray]]
 
 def _as_arrays(labels: Labels, ncols: int) -> List[np.ndarray]:
     if isinstance(labels, str):
-        return [read_label_file(os.path.join(labels, n), ncols)
+        # infer width per file (5- and 7-col dirs coexist, and the
+        # reference's parsers are token-wise)
+        return [read_label_file(os.path.join(labels, n), None)
                 for n in sorted(os.listdir(labels)) if n.endswith(".txt")]
     return list(labels)
 
@@ -192,4 +194,16 @@ def creation_metrics_report(pred_04: Labels, gt_04: Labels,
         "instances_gt_04": instance_count(gt_04, 5),
         "instances_pred_001": instance_count(pred_001),
         "instances_gt_001": instance_count(gt_001),
+        # quirk of record: the reference computes M2@0.4 by summing
+        # column 4 of the 5-col label files — which is the box *height*
+        # (per_img_conf_sum applied to conf-less labels,
+        # test_patch_DOTA_metrics.py:367-371). Reported for parity.
+        "M2_avg_conf_created_04_quirk": _m2_04_quirk(pred_04, gt_04),
     }
+
+
+def _m2_04_quirk(pred_04: Labels, gt_04: Labels) -> float:
+    gap = instance_count(pred_04, 5) - instance_count(gt_04, 5)
+    if gap == 0:
+        return float("nan")
+    return (conf_sum(pred_04, 5) - conf_sum(gt_04, 5)) / gap

@@ -6,4 +6,5 @@ from .affine import (
     rotation_scale_translation_theta, output_grid_coords,
 )
 from .decode import decode_head, decode_all_heads, head_cell_scores
-from .nms import iou_xywh_matrix, greedy_nms_host, greedy_nms_device
+from .nms import (iou_xywh_matrix, greedy_nms_host, greedy_nms_device,
+    merge_nms_host)

@@ -68,6 +68,53 @@ def greedy_nms_host(boxes: np.ndarray, scores: np.ndarray,
     return np.asarray(keep, dtype=np.int64)
 
 
+def merge_nms_host(boxes: np.ndarray, obj: np.ndarray, cls: np.ndarray,
+                   conf_thresh: float = 0.5, iou_thresh: float = 0.5,
+                   class_agnostic: bool = False, max_det: int = 300,
+                   merge: bool = True) -> np.ndarray:
+    """The reference's alternative vectorized NMS
+    (utils.py:639-732 ``non_max_suppression``): combined score
+    obj*cls, per-class box offsets (unless class_agnostic), greedy NMS,
+    then merge-NMS — kept boxes are replaced by the IoU-weighted mean of
+    their cluster, and kept only if the cluster is redundant (>1 member).
+
+    boxes [N,4] xywh normalized; obj [N]; cls [N,C] class scores.
+    Returns [M, 7] rows (x, y, w, h, obj, cls_conf, cls_id).
+    """
+    if len(boxes) == 0:
+        return np.zeros((0, 7), np.float32)
+    keep_cand = obj > conf_thresh
+    boxes, obj, cls = boxes[keep_cand], obj[keep_cand], cls[keep_cand]
+    if len(boxes) == 0:
+        return np.zeros((0, 7), np.float32)
+    conf = cls * obj[:, None]
+    cls_id = conf.argmax(axis=1)
+    score = conf[np.arange(len(conf)), cls_id]
+    sel = score > conf_thresh
+    boxes, obj, cls_id, score = boxes[sel], obj[sel], cls_id[sel], score[sel]
+    if len(boxes) == 0:
+        return np.zeros((0, 7), np.float32)
+    # per-class offset trick: disjoint coordinate islands per class
+    off = 0.0 if class_agnostic else cls_id.astype(np.float32) * 8.0
+    shifted = boxes.copy()
+    shifted[:, 0] += off
+    keep = greedy_nms_host(shifted, score, iou_thresh)[:max_det]
+    out_boxes = boxes[keep].copy()
+    if merge and 1 < len(boxes) < 3000:
+        iou = iou_xywh_matrix(shifted[keep], shifted)
+        clusters = iou > iou_thresh
+        weights = clusters * score[None, :]
+        denom = weights.sum(axis=1, keepdims=True)
+        out_boxes = (weights @ boxes) / np.maximum(denom, 1e-12)
+        redundant = clusters.sum(axis=1) > 1
+        keep = keep[redundant]
+        out_boxes = out_boxes[redundant]
+    return np.concatenate([
+        out_boxes, obj[keep, None],
+        (score[keep] / np.maximum(obj[keep], 1e-12))[:, None],
+        cls_id[keep, None].astype(np.float32)], axis=1).astype(np.float32)
+
+
 def greedy_nms_device(boxes: jnp.ndarray, scores: jnp.ndarray,
                       iou_thresh: float, max_det: int):
     """Fixed-size greedy NMS under jit.

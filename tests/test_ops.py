@@ -256,3 +256,23 @@ def test_median_pool_fast_matches_plain_grad(rng):
             lambda v: jnp.sum(ops.median_pool_2d_fast(v, k) * cot))(xj)
         np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_plain),
                                    atol=1e-6, err_msg=f"k={k}")
+
+
+def test_merge_nms_host(rng):
+    n, c = 40, 15
+    boxes = np.stack([0.2 + 0.6 * rng.random(n), 0.2 + 0.6 * rng.random(n),
+                      0.05 + 0.1 * rng.random(n),
+                      0.05 + 0.1 * rng.random(n)], 1).astype(np.float32)
+    obj = rng.random(n).astype(np.float32)
+    cls = rng.random((n, c)).astype(np.float32)
+    out = ops.merge_nms_host(boxes, obj, cls, conf_thresh=0.3,
+                             iou_thresh=0.5)
+    assert out.shape[1] == 7
+    if len(out):
+        assert ((out[:, 6] >= 0) & (out[:, 6] < c)).all()
+        # survivors exceed the conf threshold
+        assert (out[:, 4] * out[:, 5] > 0.3 - 1e-6).all()
+    # no boxes above threshold -> empty
+    empty = ops.merge_nms_host(boxes, np.zeros(n, np.float32), cls,
+                               conf_thresh=0.3)
+    assert empty.shape == (0, 7)
