@@ -60,6 +60,8 @@ class ExperimentConfig:
     loss_target: str = "obj*cls"
     # EOT
     scale_factor: float = 2.0
+    do_rotate: bool = True
+    photometric: bool = True
     # runtime
     compute_dtype: str = "bfloat16"      # detector conv dtype on TPU
     checkpoint_every: int = 20           # epochs (reference: patch PNG)

@@ -114,7 +114,9 @@ def init_patch(exp: ExperimentConfig, key: jax.Array,
 def make_loss_fn(net: darknet.Network, exp: ExperimentConfig,
                  printable_colors: np.ndarray) -> Callable:
     eot_cfg = EOTConfig(img_size=exp.img_size,
-                        scale_factor=exp.scale_factor)
+                        scale_factor=exp.scale_factor,
+                        do_rotate=exp.do_rotate,
+                        photometric=exp.photometric)
     compute_dtype = (jnp.bfloat16 if exp.compute_dtype == "bfloat16"
                      else jnp.float32)
     colors = jnp.asarray(printable_colors)
@@ -294,6 +296,7 @@ class PatchTrainer:
             self.scheduler.step(stats["loss"])
             stats["lr"] = self.scheduler.lr
             self.history.append(stats)
+            self._log_jsonl(stats)
             self.log(
                 f"epoch {epoch}: loss {stats['loss']:.4f} "
                 f"(no_obj {stats['no_obj']:.4f} no_cls {stats['no_cls']:.4f} "
@@ -304,6 +307,18 @@ class PatchTrainer:
                     and epoch % self.exp.checkpoint_every == 0):
                 self.save_checkpoint(epoch)
         return np.asarray(self.state.patch), self.history
+
+    def _log_jsonl(self, stats: Dict[str, float]) -> None:
+        """Append epoch stats to <checkpoint_dir>/train_log.jsonl (the
+        structured replacement for the reference's nohup print log)."""
+        if not self.checkpoint_dir:
+            return
+        import json
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        with open(os.path.join(self.checkpoint_dir,
+                               "train_log.jsonl"), "a") as f:
+            f.write(json.dumps({k: float(v) if hasattr(v, "item") else v
+                                for k, v in stats.items()}) + "\n")
 
     # -- checkpointing -----------------------------------------------------
 

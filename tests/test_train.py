@@ -171,3 +171,26 @@ def test_full_train_two_epochs(tmp_path, tiny_victim):
     assert len(history) == 2
     assert patch.shape == (16, 16, 3)
     assert {"loss", "no_obj", "lr"} <= set(history[0])
+
+
+def test_creation_attack_efficacy(tiny_victim):
+    """Optimizing the creation objective through the full stack lowers
+    the no-obj loss (raises patch-cell objectness). Random victim
+    weights give weak but directional signal; rotation/jitter are off to
+    reduce EOT variance."""
+    net, params = tiny_victim
+    exp = tiny_exp(loss_recipe="untargeted_obj", patch_size=32,
+                   do_rotate=False, photometric=False)
+    data = SyntheticData(8, exp.img_size, exp.max_labels)
+    imgs, labs = map(jnp.asarray, data.batch(8))
+    labs = labs.at[:, 0].set(jnp.asarray([0, 0.5, 0.9, 0.9, 0.9]))
+
+    step = T.make_train_step(net, exp)
+    state = T.init_train_state(exp, jax.random.PRNGKey(0))
+    hist = []
+    for _ in range(300):
+        state, aux = step(state, params, imgs, labs, jnp.float32(0.05))
+        hist.append(aux["no_obj"])
+    hist = np.asarray(jnp.stack(hist))
+    assert hist[-10:].mean() < hist[:10].mean() - 0.03, (
+        hist[:10].mean(), hist[-10:].mean())
