@@ -1,6 +1,13 @@
 """Bundled data assets: DOTA class names, decode-time anchor groups, and
 the 30 printable colors for the NPS loss.
 
+Provenance: these are *data* constants of the attack protocol, not code —
+the DOTA class list (public dataset), the 9 YOLOv3-DOTA anchors in the
+reference's file ordering (required for detection parity), and the 30
+printable-RGB calibration triplets the NPS loss is defined over
+(reference non_printability/30values.txt; the values ARE the loss
+definition, so they must match numerically).
+
 ``load_anchor_groups`` replicates (deliberately) the reference's anchor
 pairing quirk (utils.py:441-447): the anchor file lists the 3 groups
 large->small, is reshaped to [3, 3, 2], and the *group order is reversed*,

@@ -62,6 +62,7 @@ class ExperimentConfig:
     scale_factor: float = 2.0
     do_rotate: bool = True
     photometric: bool = True
+    warp_method: str = "mxu"             # "mxu" | "gather" (exact)
     # runtime
     compute_dtype: str = "bfloat16"      # detector conv dtype on TPU
     checkpoint_every: int = 20           # epochs (reference: patch PNG)

@@ -116,7 +116,8 @@ def make_loss_fn(net: darknet.Network, exp: ExperimentConfig,
     eot_cfg = EOTConfig(img_size=exp.img_size,
                         scale_factor=exp.scale_factor,
                         do_rotate=exp.do_rotate,
-                        photometric=exp.photometric)
+                        photometric=exp.photometric,
+                        warp_method=exp.warp_method)
     compute_dtype = (jnp.bfloat16 if exp.compute_dtype == "bfloat16"
                      else jnp.float32)
     colors = jnp.asarray(printable_colors)
