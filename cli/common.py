@@ -14,6 +14,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache (harmless if the backend ignores it)
+if os.environ.get("APFP_COMPILE_CACHE", "1") != "0":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/apfp_jax"))
+
 from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu import evals
 from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.models import (
     build_network, fold_bn, init_params, load_darknet_weights,

@@ -346,3 +346,15 @@ def test_full_yolov3_forward_torch_parity(tmp_path, rng):
         of = np.asarray(of).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(o, t, atol=2e-3, rtol=1e-3)
         np.testing.assert_allclose(of, t, atol=5e-3, rtol=2e-3)
+
+
+def test_describe_network():
+    net = M.build_network(M.yolov3_blocks())
+    table = M.describe_network(net)
+    assert "yolo mask=6,7,8" in table
+    assert "608x608" not in table.split("\n")[0]
+    # darknet53+head conv parameter count is ~61.6M for 15 classes
+    total = int(table.rsplit(":", 1)[1].replace(",", ""))
+    assert 61_000_000 < total < 62_500_000
+    lines = table.split("\n")
+    assert len(lines) == 107 + 2  # 107 layers + header + total
