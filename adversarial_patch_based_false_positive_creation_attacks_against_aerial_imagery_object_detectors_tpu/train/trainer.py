@@ -277,10 +277,14 @@ class PatchTrainer:
             aux_log.append(aux)
         jax.block_until_ready(self.state.patch)
         n = max(len(aux_log), 1)
-        stats = {
-            k: float(np.mean([np.asarray(a[k]) for a in aux_log]))
-            if aux_log else 0.0
-            for k in LOSS_KEYS}
+        if aux_log:
+            # one device->host transfer for the whole epoch's aux scalars
+            stacked = np.asarray(jnp.stack(
+                [jnp.stack([a[k] for k in LOSS_KEYS]) for a in aux_log]))
+            means = stacked.mean(axis=0)
+            stats = {k: float(means[i]) for i, k in enumerate(LOSS_KEYS)}
+        else:
+            stats = {k: 0.0 for k in LOSS_KEYS}
         stats["epoch_time"] = time.time() - t0
         stats["epoch"] = epoch
         stats["num_batches"] = n

@@ -276,3 +276,14 @@ def test_merge_nms_host(rng):
     empty = ops.merge_nms_host(boxes, np.zeros(n, np.float32), cls,
                                conf_thresh=0.3)
     assert empty.shape == (0, 7)
+
+
+def test_median_pool_pallas_interpret(rng):
+    """Pallas rank-selection median == sort median (interpret mode on
+    CPU; compiled path validated on TPU — see ops/median_pallas.py)."""
+    x = rng.random((3, 20, 24)).astype(np.float32)
+    x[:, 4:9, 6:11] = 0.5  # ties
+    for k in (3, 7):
+        got = ops.median_pool_2d_pallas(jnp.asarray(x), k, interpret=True)
+        want = ops.median_pool_2d(jnp.asarray(x), k, 1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
