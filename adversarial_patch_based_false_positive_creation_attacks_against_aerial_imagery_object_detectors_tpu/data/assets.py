@@ -21,7 +21,7 @@ pairing.
 from __future__ import annotations
 
 import os
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -14,8 +14,7 @@ every grid cell in Python.
 
 from __future__ import annotations
 
-import functools
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

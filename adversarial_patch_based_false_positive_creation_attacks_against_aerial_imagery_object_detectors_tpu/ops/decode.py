@@ -17,7 +17,7 @@ coords (the reference decodes to pixels then divides by width/height in
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

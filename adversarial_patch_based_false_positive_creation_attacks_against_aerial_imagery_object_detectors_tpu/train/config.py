@@ -14,7 +14,7 @@ The registry mirrors the reference's experiment modes
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 # The five loss recipes documented in the reference trainer
 # (train_patch.py:291-314). "creation_colorful" is the active default.

@@ -30,7 +30,6 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
@@ -38,7 +37,6 @@ from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from flax import struct
 
 from ..attack.eot import EOTConfig, apply_eot_patch
@@ -52,7 +50,7 @@ from ..models import darknet
 from ..models.darknet_cfg import yolov3_blocks
 from ..models.weights import load_darknet_weights
 from ..parallel.mesh import (
-    DATA_AXIS, batch_sharding, make_mesh, make_mesh_for_batch, replicated)
+    batch_sharding, make_mesh_for_batch, replicated)
 from .config import ExperimentConfig, combine_loss_target
 from .optim import scale_by_torch_amsgrad
 

@@ -10,7 +10,6 @@ the *quantized* saved images)."""
 from __future__ import annotations
 
 import json
-import os
 from typing import Any, Dict, Tuple
 
 import jax

@@ -14,7 +14,6 @@ scheduler) checkpoints every --checkpoint-every epochs and resumes with
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
