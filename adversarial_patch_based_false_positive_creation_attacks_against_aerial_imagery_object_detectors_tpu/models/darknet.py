@@ -265,19 +265,37 @@ def _upsample(x: jnp.ndarray, scale: int) -> jnp.ndarray:
 
 
 def apply(net: Network, params: Params, x: jnp.ndarray,
-          compute_dtype=jnp.float32) -> List[jnp.ndarray]:
+          compute_dtype=jnp.float32,
+          packed_stem: bool = False) -> List[jnp.ndarray]:
     """Run the detector. ``x``: [B, H, W, 3] float in [0, 1] (NHWC).
 
     Returns the three raw heads [B, S, S, 3*(5+C)] in float32, in cfg order
     (stride 32, 16, 8) — mirroring the reference's ``[head19, head38,
     head76]`` contract (reference darknet_v3.py:195-221), NHWC instead of
     NCHW.
+
+    ``packed_stem`` evaluates the first two convs via an exact
+    space-to-depth rewrite (models/stem.py) when applicable. Measured on
+    v5e it is slightly *slower* than XLA's native handling of the
+    3-channel stem (14.7 vs 13.4 ms fwd at batch 8), so it defaults off;
+    it is kept as a validated option for hardware where small-channel
+    convs are worse. Requires BN-folded params.
     """
     outputs: Dict[int, jnp.ndarray] = {}
     heads: List[jnp.ndarray] = []
     saved = set(net.saved_outputs)
     prev = x
-    for i, layer in enumerate(net.layers):
+    start = 0
+    if packed_stem and "b" in params.get("conv_0", {}):
+        from .stem import packed_stem_apply, stem_applicable
+        if stem_applicable(net):
+            prev = packed_stem_apply(
+                x, net.layers[0].conv, params["conv_0"],
+                net.layers[1].conv, params["conv_1"], compute_dtype)
+            if 1 in saved:
+                outputs[1] = prev
+            start = 2
+    for i, layer in enumerate(net.layers[start:], start=start):
         if layer.kind == "convolutional":
             prev = _conv_layer(prev, layer.conv, params[f"conv_{i}"],
                                compute_dtype)

@@ -358,3 +358,44 @@ def test_describe_network():
     assert 61_000_000 < total < 62_500_000
     lines = table.split("\n")
     assert len(lines) == 107 + 2  # 107 layers + header + total
+
+
+def test_packed_stem_exactness(rng):
+    """Space-to-depth stem == plain first-two-conv evaluation."""
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.models.stem import (
+        packed_stem_apply, stem_applicable)
+    blocks = M.yolov3_blocks(width=64, height=64)
+    net = M.build_network(blocks)
+    assert stem_applicable(net)
+    params = M.fold_bn(net, M.init_params(net, jax.random.PRNGKey(9)))
+    # damp kernels so activations stay O(1) (random unnormalized residual
+    # stacks otherwise amplify float-reassociation noise; cf. the full
+    # parity test)
+    params = {n: {k: v * 0.55 if k == "w" else v for k, v in p.items()}
+              for n, p in params.items()}
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), np.float32))
+    heads_plain = M.apply(net, params, x, packed_stem=False)
+    heads_packed = M.apply(net, params, x, packed_stem=True)
+    for a, b in zip(heads_plain, heads_packed):
+        # random unnormalized nets amplify reassociation noise; the
+        # direct stem comparison below is the tight check
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=5e-4)
+    # direct stem-output comparison
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.models.darknet import _conv_layer
+    y_plain = _conv_layer(
+        _conv_layer(x, net.layers[0].conv, params["conv_0"], jnp.float32),
+        net.layers[1].conv, params["conv_1"], jnp.float32)
+    y_packed = packed_stem_apply(
+        x, net.layers[0].conv, params["conv_0"],
+        net.layers[1].conv, params["conv_1"], jnp.float32)
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_plain),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_packed_stem_skipped_for_unfolded_params():
+    net = M.build_network(M.yolov3_blocks(width=64, height=64))
+    params = M.init_params(net, jax.random.PRNGKey(3))  # BN not folded
+    x = jnp.zeros((1, 64, 64, 3))
+    heads = M.apply(net, params, x, packed_stem=True)   # falls back
+    assert heads[0].shape == (1, 2, 2, 60)
