@@ -53,19 +53,23 @@ class Detector:
             cls_conf = jnp.max(cls, axis=-1)
             cls_id = jnp.argmax(cls, axis=-1)
             score = obj * cls_conf
-            # top-k prune on device; host applies the threshold + NMS
+            # top-k prune on device; host applies the threshold + NMS.
+            # Pack all per-candidate fields into 8-float rows so the
+            # pruning is ONE row gather (TPU gathers hate tiny rows).
+            vals = jnp.stack(
+                [boxes[..., 0], boxes[..., 1], boxes[..., 2],
+                 boxes[..., 3], obj, cls_conf,
+                 cls_id.astype(boxes.dtype), score], axis=-1)  # [B,N,8]
             k = min(max_candidates, score.shape[1])
             top_score, top_idx = jax.lax.top_k(score, k)
-            take = lambda v: jnp.take_along_axis(v, top_idx, axis=1)
-            out = {
-                "boxes": jnp.take_along_axis(
-                    boxes, top_idx[..., None], axis=1),
-                "obj": take(obj),
-                "cls_conf": take(cls_conf),
-                "cls_id": take(cls_id),
+            top = jnp.take_along_axis(vals, top_idx[..., None], axis=1)
+            return {
+                "boxes": top[..., 0:4],
+                "obj": top[..., 4],
+                "cls_conf": top[..., 5],
+                "cls_id": top[..., 6].astype(jnp.int32),
                 "score": top_score,
             }
-            return out
 
         self._infer = _infer
 

@@ -19,6 +19,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def init_distributed() -> bool:
+    """Initialize multi-host JAX when launched under a multi-process
+    runtime (env-driven: JAX_COORDINATOR_ADDRESS / standard TPU pod
+    envs). Safe no-op on single host. Returns True when a multi-process
+    runtime was initialized."""
+    import os
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "MEGASCALE_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices."""
     if devices is None:
