@@ -53,9 +53,12 @@ class EvalEOTConfig:
 
 
 def select_reference_box_7col(labels: np.ndarray) -> np.ndarray:
-    """labels [L, 7] -> [7] reference row (load_data.py:1295-1318)."""
+    """labels [L, 7] -> [7] reference row (load_data.py:1295-1318).
+    Non-finite rows (exp-overflow detections from untrained victims) are
+    treated as zero-area."""
     if len(labels) == 1:
         return np.full(7, 0.25, np.float32)
+    labels = np.nan_to_num(labels, nan=0.0, posinf=0.0, neginf=0.0)
     area = labels[:, 2] * labels[:, 3]
     if area.max() > 0.99:
         return np.full(7, 0.25, np.float32)
@@ -70,6 +73,9 @@ def interference_map(labels: np.ndarray, semi_edge: float,
     normalized. Returns [S, S] float; free cells are exactly 0.
     Uses the native C++ kernel when available."""
     from ..utils import native
+    # exp-overflow detections (untrained victims) would overflow the
+    # integer box fills; treat them as zero-size
+    labels = np.nan_to_num(labels, nan=0.0, posinf=0.0, neginf=0.0)
     out = native.interference_map(labels, semi_edge, img_size)
     if out is not None:
         return out

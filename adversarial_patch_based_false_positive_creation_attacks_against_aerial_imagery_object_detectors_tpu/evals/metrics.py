@@ -71,6 +71,8 @@ def m1_average_instances_created(pred: Labels, gt: Labels,
 def m2_average_confidence_created(pred: Labels, gt: Labels,
                                   ncols: int = 7) -> float:
     gap = instance_count(pred, ncols) - instance_count(gt, ncols)
+    if gap == 0:
+        return float("nan")   # nothing created: M2 undefined
     return (conf_sum(pred, ncols) - conf_sum(gt, ncols)) / gap
 
 

@@ -43,10 +43,12 @@ def draw_detections(img: Image.Image, dets: np.ndarray,
     except OSError:
         font = ImageFont.load_default()
     for det in dets:
-        x1 = (det[0] - det[2] / 2) * w
-        y1 = (det[1] - det[3] / 2) * h
-        x2 = (det[0] + det[2] / 2) * w
-        y2 = (det[1] + det[3] / 2) * h
+        if not np.isfinite(det[:4]).all():
+            continue  # exp-overflow boxes from untrained weights
+        x1 = float(np.clip((det[0] - det[2] / 2) * w, -4 * w, 4 * w))
+        y1 = float(np.clip((det[1] - det[3] / 2) * h, -4 * h, 4 * h))
+        x2 = float(np.clip((det[0] + det[2] / 2) * w, -4 * w, 4 * w))
+        y2 = float(np.clip((det[1] + det[3] / 2) * h, -4 * h, 4 * h))
         cls_id = int(det[6])
         rgb = class_color(cls_id, len(class_names))
         score = det[4] * det[5]
