@@ -194,3 +194,16 @@ def test_creation_attack_efficacy(tiny_victim):
     hist = np.asarray(jnp.stack(hist))
     assert hist[-10:].mean() < hist[:10].mean() - 0.03, (
         hist[:10].mean(), hist[-10:].mean())
+
+
+def test_make_mesh_for_batch():
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.parallel.mesh import (
+        init_distributed, make_mesh_for_batch)
+    assert make_mesh_for_batch(8).devices.size == 8
+    assert make_mesh_for_batch(4).devices.size == 4
+    assert make_mesh_for_batch(6).devices.size == 6
+    assert make_mesh_for_batch(7).devices.size == 7
+    assert make_mesh_for_batch(5).devices.size == 5
+    assert make_mesh_for_batch(3).devices.size == 3
+    assert make_mesh_for_batch(1).devices.size == 1
+    assert init_distributed() is False  # single host: no-op
