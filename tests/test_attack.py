@@ -259,3 +259,24 @@ def test_transform_patch_end_to_end_shapes():
     g = jax.grad(loss)(patch)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_warp_places_patch_center_at_target():
+    """Property: angle 0, scale s places the patch center pixel block at
+    the normalized target center (both warp methods)."""
+    p, img = 8, 64
+    patch = jnp.ones((1, p, p, 3))
+    for method in ("mxu", "gather"):
+        for tx, ty in ((0.5, 0.5), (0.25, 0.75)):
+            adv, mask = attack.warp_patch(
+                patch, jnp.zeros(1), jnp.asarray([1.0]),
+                jnp.asarray([tx]), jnp.asarray([ty]), img, method=method)
+            m = np.asarray(mask)[0, :, :, 0]
+            ys, xs = np.nonzero(m > 0.5)
+            cy = (ys.min() + ys.max()) / 2
+            cx = (xs.min() + xs.max()) / 2
+            # align_corners=False: center lands at target*S - 0.5
+            assert abs(cx - (tx * img - 0.5)) <= 1.0, (method, tx, cx)
+            assert abs(cy - (ty * img - 0.5)) <= 1.0, (method, ty, cy)
+            # extent ~= patch size * scale
+            assert abs((xs.max() - xs.min() + 1) - p) <= 2

@@ -207,3 +207,21 @@ def test_make_mesh_for_batch():
     assert make_mesh_for_batch(3).devices.size == 3
     assert make_mesh_for_batch(1).devices.size == 1
     assert init_distributed() is False  # single host: no-op
+
+
+def test_training_determinism(tiny_victim):
+    """Same seed + data => bit-identical patches (explicit-key RNG; the
+    reference's global torch RNG cannot guarantee this)."""
+    net, params = tiny_victim
+    exp = tiny_exp()
+    data = SyntheticData(8, exp.img_size, exp.max_labels)
+    imgs, labs = map(jnp.asarray, data.batch(8))
+
+    def run():
+        step = T.make_train_step(net, exp)
+        state = T.init_train_state(exp, jax.random.PRNGKey(7))
+        for _ in range(5):
+            state, _ = step(state, params, imgs, labs, jnp.float32(0.03))
+        return np.asarray(state.patch)
+
+    np.testing.assert_array_equal(run(), run())
