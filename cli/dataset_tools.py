@@ -51,6 +51,19 @@ def cmd_stats(args):
     for name, c in zip(names, counts):
         if c:
             print(f"  {name:20s} {c}")
+    if getattr(args, "hist", None) and per_file:
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            print("matplotlib unavailable; skipping histogram")
+            return
+        plt.bar(range(len(per_file)), sorted(per_file))
+        plt.xlabel("image (sorted)")
+        plt.ylabel("instances")
+        plt.savefig(args.hist)
+        print(f"histogram -> {args.hist}")
 
 
 def cmd_recall(args):
@@ -73,6 +86,9 @@ def main(argv=None):
     p2.add_argument("--img-dir", required=True)
     p2.add_argument("--lab-dir", required=True)
     p2.add_argument("--ncols", type=int, default=5)
+    p2.add_argument("--hist", default=None,
+                    help="save an instances-per-image histogram PNG "
+                         "(utils_self.hist_draw parity)")
     p2.set_defaults(fn=cmd_stats)
 
     p3 = sub.add_parser("recall")

@@ -225,3 +225,30 @@ def test_training_determinism(tiny_victim):
         return np.asarray(state.patch)
 
     np.testing.assert_array_equal(run(), run())
+
+
+def test_trainer_with_file_loader(tmp_path, tiny_victim):
+    """File-backed dataset -> BatchLoader -> trainer epoch (the real
+    data path, not synthetic)."""
+    from PIL import Image
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.data.dataset import (
+        BatchLoader, DotaDataset)
+    img_dir = tmp_path / "img"
+    lab_dir = tmp_path / "lab"
+    img_dir.mkdir()
+    lab_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        Image.fromarray((rng.random((64, 64, 3)) * 255).astype(np.uint8)
+                        ).save(img_dir / f"t{i}.png")
+        (lab_dir / f"t{i}.txt").write_text("3 0.5 0.5 0.2 0.2\n")
+    net, params = tiny_victim
+    exp = tiny_exp(batch_size=2)
+    ds = DotaDataset(str(img_dir), str(lab_dir), exp.max_labels,
+                     exp.img_size)
+    loader = BatchLoader(ds, exp.batch_size, num_workers=2, seed=0)
+    trainer = T.PatchTrainer(exp, net=net, params=params,
+                             log=lambda s: None)
+    stats = trainer.run_epoch(loader, 0)
+    assert stats["num_batches"] == 3
+    assert np.isfinite(stats["loss"])
