@@ -23,5 +23,7 @@ creation_attacks_against_aerial_imagery_object_detectors):
 
 __version__ = "0.1.0"
 
+from . import attack, data, evals, models, ops, parallel, train, utils  # noqa: E402,F401
+
 # Short alias so users don't have to type the full package name:
 #   import adversarial_patch_based_..._tpu as apfp

@@ -264,7 +264,13 @@ class PatchTrainer:
         data_sh = batch_sharding(self.mesh)
         aux_log: List[Dict[str, jnp.ndarray]] = []
         t0 = time.time()
+        n_dev = self.mesh.devices.size
         for images, labels in batches:
+            if images.shape[0] % n_dev:
+                self.log(
+                    f"skipping batch of {images.shape[0]} (not divisible "
+                    f"by the {n_dev}-device mesh; use drop_last=True)")
+                continue
             images = jax.device_put(images, data_sh)
             labels = jax.device_put(labels, data_sh)
             self.state, aux = self.step_fn(

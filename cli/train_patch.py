@@ -96,8 +96,11 @@ def main(argv=None):
         ds = DotaDataset(exp.img_dir, exp.lab_dir, exp.max_labels,
                          exp.img_size)
         print(f"{len(ds)} training images")
+        # drop the partial final batch: the jitted step has a static
+        # batch dim and the mesh sharding requires divisibility
         loader = BatchLoader(ds, exp.batch_size, shuffle=True,
-                             num_workers=args.num_workers, seed=args.seed)
+                             num_workers=args.num_workers, seed=args.seed,
+                             drop_last=True)
 
         def make_batches(epoch):
             return loader

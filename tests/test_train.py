@@ -252,3 +252,19 @@ def test_trainer_with_file_loader(tmp_path, tiny_victim):
     stats = trainer.run_epoch(loader, 0)
     assert stats["num_batches"] == 3
     assert np.isfinite(stats["loss"])
+
+
+def test_partial_batches_skipped_not_crashing(tiny_victim):
+    """A final partial batch that doesn't divide the mesh must be
+    skipped with a warning, not crash the sharded step."""
+    net, params = tiny_victim
+    exp = tiny_exp(batch_size=8)
+    msgs = []
+    trainer = T.PatchTrainer(exp, net=net, params=params,
+                             log=msgs.append)
+    data = SyntheticData(8, exp.img_size, exp.max_labels)
+    full = data.batch(8, 0)
+    partial = tuple(a[:3] for a in data.batch(8, 1))  # 3 % 8 devices != 0
+    stats = trainer.run_epoch([full, partial], 0)
+    assert stats["num_batches"] == 1
+    assert any("skipping batch" in m for m in msgs)
