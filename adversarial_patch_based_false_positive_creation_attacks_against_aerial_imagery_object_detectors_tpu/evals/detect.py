@@ -23,9 +23,9 @@ import numpy as np
 from ..data.assets import load_anchor_groups
 from ..models import darknet
 from ..ops.decode import decode_all_heads
-from ..ops.nms import greedy_nms_host
+from ..ops.nms import greedy_nms_device, greedy_nms_host
 
-MAX_CANDIDATES = 1024
+MAX_CANDIDATES = 4096  # pre-NMS cap; conf 0.01 sweeps can be wide
 
 
 class Detector:
@@ -73,6 +73,34 @@ class Detector:
 
         self._infer = _infer
 
+        @jax.jit
+        def _detect_device(params, images, conf_thresh, nms_thresh):
+            heads = darknet.apply(net, params, images, compute_dtype)
+            boxes, obj, cls = decode_all_heads(
+                heads, self.anchor_groups, (img_size, img_size),
+                num_classes)
+            cls_conf = jnp.max(cls, axis=-1)
+            cls_id = jnp.argmax(cls, axis=-1).astype(boxes.dtype)
+            # candidates pass obj*cls > conf; NMS ranks by obj
+            # (reference semantics: utils.py:99,217-219)
+            nms_score = jnp.where(obj * cls_conf > conf_thresh, obj, 0.0)
+
+            def one(boxes_i, score_i, obj_i, cc_i, cid_i):
+                # max_det=300 (the reference's merge-NMS cap) keeps the
+                # O(k^2) on-device IoU matrix small (k = 8*max_det)
+                idx, valid = greedy_nms_device(
+                    boxes_i, score_i, nms_thresh, max_det=300)
+                row = jnp.concatenate([
+                    boxes_i[idx], obj_i[idx, None], cc_i[idx, None],
+                    cid_i[idx, None]], axis=1)
+                return jnp.where(valid[:, None], row, 0.0), valid
+
+            dets, valid = jax.vmap(one)(boxes, nms_score, obj, cls_conf,
+                                        cls_id)
+            return dets, valid
+
+        self._detect_device = _detect_device
+
     def forward_heads(self, images: np.ndarray):
         """Raw heads (NHWC) for a [B, S, S, 3] batch."""
         return darknet.apply(self.net, self.params, jnp.asarray(images))
@@ -86,6 +114,13 @@ class Detector:
         results = []
         for i in range(images.shape[0]):
             keep = out["score"][i] > conf_thresh
+            if keep.all() and len(keep) == self.max_candidates:
+                import warnings
+                warnings.warn(
+                    f"detect_batch: all {self.max_candidates} pruned "
+                    f"candidates exceed conf={conf_thresh}; results are "
+                    "truncated — raise max_candidates or use "
+                    "detect_batch_device")
             boxes = out["boxes"][i][keep]
             obj = out["obj"][i][keep]
             cls_conf = out["cls_conf"][i][keep]
@@ -102,6 +137,17 @@ class Detector:
                nms_thresh: float) -> np.ndarray:
         """Single image [S, S, 3] -> [N, 7] detections."""
         return self.detect_batch(image[None], conf_thresh, nms_thresh)[0]
+
+    def detect_batch_device(self, images, conf_thresh: float,
+                            nms_thresh: float):
+        """Fully on-device detection (one jit call: forward + decode +
+        threshold + greedy NMS). Returns fixed-size
+        (dets [B, 300, 7], valid [B, 300]) device arrays — the serving
+        path; semantics match ``detect_batch`` (NMS ranked by obj,
+        candidates thresholded on obj*cls)."""
+        return self._detect_device(
+            self.params, jnp.asarray(images),
+            jnp.float32(conf_thresh), jnp.float32(nms_thresh))
 
 
 def detections_to_label_rows(dets: np.ndarray, with_conf: bool = True

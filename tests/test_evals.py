@@ -101,8 +101,10 @@ def test_average_precision_ranked():
 def tiny_detector():
     net = build_network(tiny_test_blocks())
     params = fold_bn(net, init_params(net, jax.random.PRNGKey(5)))
+    # max_candidates above the tiny net's 252 cells: no pre-NMS pruning,
+    # so host and device paths must agree exactly
     return evals.Detector(net, params, img_size=64,
-                          compute_dtype=jnp.float32, max_candidates=64)
+                          compute_dtype=jnp.float32, max_candidates=256)
 
 
 def test_detector_runs(tiny_detector, rng):
@@ -198,3 +200,15 @@ def test_vanishing_transformer(rng):
     out = attack.paste_vanishing(imgs, adv)
     assert out.shape == (2, 64, 64, 3)
     assert not np.allclose(np.asarray(out[0]), 0.5)
+
+
+def test_detect_batch_device_matches_host(tiny_detector, rng):
+    imgs = rng.random((2, 64, 64, 3), dtype=np.float32)
+    host = tiny_detector.detect_batch(imgs, 0.2, 0.4)
+    dets, valid = tiny_detector.detect_batch_device(imgs, 0.2, 0.4)
+    dets, valid = np.asarray(dets), np.asarray(valid)
+    for i in range(2):
+        dev = dets[i][valid[i]]
+        h = host[i][:300]
+        assert len(dev) == len(h)
+        np.testing.assert_allclose(dev, h, atol=1e-5, rtol=1e-4)
