@@ -297,10 +297,12 @@ class PatchTrainer:
     # -- full training -----------------------------------------------------
 
     def train(self, make_batches: Callable[[int], Iterable],
-              epochs: Optional[int] = None) -> Tuple[np.ndarray, List[Dict]]:
-        """``make_batches(epoch)`` yields (images, labels) numpy batches."""
+              epochs: Optional[int] = None,
+              start_epoch: int = 0) -> Tuple[np.ndarray, List[Dict]]:
+        """``make_batches(epoch)`` yields (images, labels) numpy batches.
+        ``start_epoch`` offsets epoch labels/checkpoints after a resume."""
         epochs = epochs if epochs is not None else self.exp.max_epochs
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, start_epoch + epochs):
             stats = self.run_epoch(make_batches(epoch), epoch)
             self.scheduler.step(stats["loss"])
             stats["lr"] = self.scheduler.lr

@@ -108,7 +108,8 @@ def main(argv=None):
     epochs = (args.epochs if args.epochs is not None
               else exp.max_epochs) - start_epoch
     t0 = time.time()
-    patch, history = trainer.train(make_batches, epochs=epochs)
+    patch, history = trainer.train(make_batches, epochs=epochs,
+                                   start_epoch=start_epoch)
     print(f"total training time: {(time.time() - t0) / 60:.2f} min")
 
     os.makedirs(args.out_dir, exist_ok=True)
