@@ -268,3 +268,15 @@ def test_partial_batches_skipped_not_crashing(tiny_victim):
     stats = trainer.run_epoch([full, partial], 0)
     assert stats["num_batches"] == 1
     assert any("skipping batch" in m for m in msgs)
+
+
+def test_gather_warp_method_trains(tiny_victim):
+    """The exact grid_sample-parity warp is selectable for training."""
+    net, params = tiny_victim
+    exp = tiny_exp(warp_method="gather")
+    step = T.make_train_step(net, exp)
+    state = T.init_train_state(exp, jax.random.PRNGKey(0))
+    data = SyntheticData(8, exp.img_size, exp.max_labels)
+    imgs, labs = map(jnp.asarray, data.batch(8))
+    state, aux = step(state, params, imgs, labs, jnp.float32(0.03))
+    assert np.isfinite(float(aux["loss"]))
