@@ -55,6 +55,9 @@ class ExperimentConfig:
     nps_factor: float = 0.01
     tv_floor: float = 0.1                # torch.max(tv_loss, 0.1)
     target_id: int = 14                  # helicopter
+    # reference quirk: cell index x/y-swapped (train_patch.py:461-467);
+    # False = geometrically faithful cell
+    cell_swap_xy: bool = True
     # loss_target combiner for the legacy max-prob recipes:
     # "obj", "cls", "obj*cls", or "0.2*obj+0.8*cls"
     loss_target: str = "obj*cls"

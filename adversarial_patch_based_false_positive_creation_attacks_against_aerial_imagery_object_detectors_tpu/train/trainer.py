@@ -126,7 +126,8 @@ def make_loss_fn(net: darknet.Network, exp: ExperimentConfig,
                                            eot_cfg)
         heads = darknet.apply(net, params, patched, compute_dtype)
         cell_obj, cell_cls = extract_cell_scores(
-            heads, centers, exp.img_size, exp.num_classes)
+            heads, centers, exp.img_size, exp.num_classes,
+            swap_xy=exp.cell_swap_xy)
         no_obj = creation_obj_loss(cell_obj)
         no_cls = creation_cls_ce_loss(cell_cls, exp.target_id)
         nps = nps_loss(patch, colors) * exp.nps_factor
