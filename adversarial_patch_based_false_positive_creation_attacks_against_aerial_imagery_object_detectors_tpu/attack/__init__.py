@@ -14,3 +14,4 @@ from .eot_eval import (
 from .vanishing import (
     VanishingConfig, transform_patch_vanishing, paste_vanishing,
 )
+from .pgd import PGDConfig, make_pgd_fabrication, fabrication_loss

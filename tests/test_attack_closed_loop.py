@@ -135,3 +135,25 @@ def test_patch_training_creates_detections(victim):
                                             n_images=8)
     assert sum(len(d) for d in clean_dets) == 0
     assert m1 > 0.5, f"M1={m1}: the patch should create detections"
+
+
+def test_pgd_fabrication_creates_detections(victim):
+    """The completed TOG-style per-image fabrication attack (the
+    reference's was abandoned): eps-bounded PGD raises fabrication on
+    the crafted victim — perturbed dark scenes yield detections."""
+    net, params = victim
+    cfg = attack.PGDConfig(eps=0.4, alpha=0.08, steps=12)
+    pgd = attack.make_pgd_fabrication(net, cfg)
+    rng = np.random.default_rng(2)
+    imgs = jnp.asarray(_dark_scene(rng, 4))
+    adv = pgd(params, imgs)
+    a = np.asarray(adv)
+    assert np.abs(a - np.asarray(imgs)).max() <= cfg.eps + 1e-6
+    assert (a >= 0).all() and (a <= 1).all()
+
+    det = evals.Detector(net, params, img_size=IMG,
+                         compute_dtype=jnp.float32, max_candidates=256)
+    clean = det.detect_batch(np.asarray(imgs), 0.4, 0.4)
+    fabricated = det.detect_batch(a, 0.4, 0.4)
+    assert sum(len(d) for d in clean) == 0
+    assert sum(len(d) for d in fabricated) >= 4
