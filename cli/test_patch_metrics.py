@@ -49,8 +49,10 @@ def main(argv=None):
     report["mAP"] = evals.mean_average_precision(pred_001, gt_04,
                                                  len(names), args.iou)
     if args.json:
-        # NaN is not valid JSON; emit null so downstream parsers work
-        clean = {k: (None if isinstance(v, float) and v != v else v)
+        # NaN/Infinity are not valid JSON; emit null instead
+        import math
+        clean = {k: (None if isinstance(v, float) and not math.isfinite(v)
+                     else v)
                  for k, v in report.items()}
         print(json.dumps(clean))
         return report
