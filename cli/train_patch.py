@@ -44,6 +44,10 @@ def main(argv=None):
     ap.add_argument("--learning-rate", type=float, default=None)
     ap.add_argument("--patch-size", type=int, default=None)
     ap.add_argument("--img-size", type=int, default=None)
+    ap.add_argument("--warp-method", default=None,
+                    choices=("mxu", "gather"),
+                    help="EOT warp: MXU matmul-factored (default) or the "
+                         "exact grid_sample-parity gather")
     ap.add_argument("--loss-recipe", default=None,
                     choices=T.LOSS_RECIPES)
     ap.add_argument("--target-id", type=int, default=None)
@@ -64,6 +68,7 @@ def main(argv=None):
         "batch_size": args.batch_size,
         "learning_rate": args.learning_rate,
         "patch_size": args.patch_size, "img_size": args.img_size,
+        "warp_method": args.warp_method,
         "loss_recipe": args.loss_recipe,
         "target_id": args.target_id,
         "max_epochs": args.epochs,

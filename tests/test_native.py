@@ -82,3 +82,32 @@ def test_native_parse_floats():
     vals = native.parse_floats(text, 64)
     np.testing.assert_allclose(
         vals, [3, 0.5, 0.25, 0.125, 0.0625, 14, 0.1, 0.2, 0.3, 0.4])
+
+
+def test_numpy_fallbacks_when_native_disabled(rng, monkeypatch):
+    """The pure-numpy paths behind the native hooks stay correct when the
+    library is unavailable."""
+    import adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.utils.native as nat
+    monkeypatch.setattr(nat, "_lib", None)
+    monkeypatch.setattr(nat, "_tried", True)
+    assert not nat.available()
+
+    n = 50
+    boxes = np.stack([rng.random(n), rng.random(n),
+                      0.05 + 0.2 * rng.random(n),
+                      0.05 + 0.2 * rng.random(n)], 1).astype(np.float32)
+    scores = rng.random(n).astype(np.float32)
+    keep = nms_mod.greedy_nms_host(boxes, scores, 0.4)   # numpy path
+    assert len(keep) >= 1 and scores[keep[0]] == scores.max()
+
+    labels = np.array([[0.5, 0.5, 0.2, 0.2, 0.9, 0.9, 3]], np.float32)
+    occ = eot_eval.interference_map(labels, 4, 32)       # numpy path
+    assert occ.shape == (32, 32) and (occ == 0).any()
+
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.data.labels import read_label_file
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "a.txt")
+        open(path, "w").write("3 0.5 0.5 0.1 0.1\n")
+        np.testing.assert_allclose(read_label_file(path, 5),
+                                   [[3, 0.5, 0.5, 0.1, 0.1]])
