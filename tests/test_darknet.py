@@ -399,3 +399,23 @@ def test_packed_stem_skipped_for_unfolded_params():
     x = jnp.zeros((1, 64, 64, 3))
     heads = M.apply(net, params, x, packed_stem=True)   # falls back
     assert heads[0].shape == (1, 2, 2, 60)
+
+
+def test_yolov3_structural_golden():
+    """Golden pin of the programmatic yolov3-dota spec: per-layer param
+    shapes and the layer table must not drift (SURVEY §4: golden-file
+    tests for cfg parsing / weight loading)."""
+    import hashlib
+    net = M.build_network(M.yolov3_blocks())
+    spec_lines = [
+        f"{s.index}:{s.in_ch}->{s.filters} k{s.size} s{s.stride} "
+        f"bn{int(s.bn)} {s.activation}" for s in M.conv_specs(net)]
+    digest = hashlib.sha256("\n".join(spec_lines).encode()).hexdigest()
+    assert digest == (
+        "6bcb83c923c242d179f93cd887270151bc245825ddeeda0e99ba9cb60bb198f4")
+    # total parameter count pinned (61,651,732 for classes=15)
+    total = sum(
+        s.size * s.size * s.in_ch * s.filters
+        + (4 * s.filters if s.bn else s.filters)
+        for s in M.conv_specs(net))
+    assert total == 61651732
