@@ -101,13 +101,23 @@ def extract_cell_scores(heads: Sequence[jnp.ndarray], centers: jnp.ndarray,
             jnp.concatenate(clss, axis=1))
 
 
-def creation_obj_loss(cell_obj: jnp.ndarray) -> jnp.ndarray:
+def weighted_mean(x: jnp.ndarray, weights=None) -> jnp.ndarray:
+    """Mean of x [B] over the batch; with ``weights`` [B] (1 = real
+    sample, 0 = padding) the mean runs over real samples only — used to
+    pad a final non-mesh-divisible batch without biasing the loss."""
+    if weights is None:
+        return jnp.mean(x)
+    return jnp.sum(x * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+
+def creation_obj_loss(cell_obj: jnp.ndarray, weights=None) -> jnp.ndarray:
     """4 * (1 - mean over batch of the max objectness among the 9 cell
     anchors) — drive at least one anchor's objectness to 1."""
-    return 4.0 * (1.0 - jnp.mean(jnp.max(cell_obj, axis=1)))
+    return 4.0 * (1.0 - weighted_mean(jnp.max(cell_obj, axis=1), weights))
 
 
-def creation_cls_ce_loss(cell_cls: jnp.ndarray, target_id: int) -> jnp.ndarray:
+def creation_cls_ce_loss(cell_cls: jnp.ndarray, target_id: int,
+                         weights=None) -> jnp.ndarray:
     """Targeted CE over the 9 anchors' class scores.
 
     cell_cls: [B, 9, C] *sigmoided* class scores; the reference applies
@@ -116,7 +126,7 @@ def creation_cls_ce_loss(cell_cls: jnp.ndarray, target_id: int) -> jnp.ndarray:
     then mean over batch.
     """
     logp = jax.nn.log_softmax(cell_cls, axis=-1)
-    return -jnp.mean(logp[..., target_id])
+    return -weighted_mean(jnp.mean(logp[..., target_id], axis=1), weights)
 
 
 def creation_cls_margin_loss(cell_cls: jnp.ndarray,

@@ -43,7 +43,7 @@ from ..attack.eot import EOTConfig, apply_eot_patch
 from ..attack.losses import (
     colorfulness, creation_cls_ce_loss, creation_obj_loss,
     extract_cell_scores, max_combined_prob, max_prob_extract, nps_loss,
-    total_variation,
+    total_variation, weighted_mean,
 )
 from ..data.assets import load_printable_colors
 from ..models import darknet
@@ -121,15 +121,15 @@ def make_loss_fn(net: darknet.Network, exp: ExperimentConfig,
     colors = jnp.asarray(printable_colors)
     combiner = combine_loss_target(exp.loss_target)
 
-    def loss_fn(patch, params, images, labels, key):
+    def loss_fn(patch, params, images, labels, weights, key):
         patched, centers = apply_eot_patch(patch, images, labels, key,
                                            eot_cfg)
         heads = darknet.apply(net, params, patched, compute_dtype)
         cell_obj, cell_cls = extract_cell_scores(
             heads, centers, exp.img_size, exp.num_classes,
             swap_xy=exp.cell_swap_xy)
-        no_obj = creation_obj_loss(cell_obj)
-        no_cls = creation_cls_ce_loss(cell_cls, exp.target_id)
+        no_obj = creation_obj_loss(cell_obj, weights)
+        no_cls = creation_cls_ce_loss(cell_cls, exp.target_id, weights)
         nps = nps_loss(patch, colors) * exp.nps_factor
         tv = total_variation(patch) * exp.tv_factor
         tv_floored = jnp.maximum(tv, exp.tv_floor)
@@ -144,14 +144,14 @@ def make_loss_fn(net: darknet.Network, exp: ExperimentConfig,
         elif recipe == "untargeted_obj":
             total = nps + tv_floored + no_obj
         elif recipe == "det_creation":
-            det = jnp.mean(max_combined_prob(
+            det = weighted_mean(max_combined_prob(
                 heads, exp.target_id, combiner, exp.num_classes,
-                sigmoid_mode=True))
+                sigmoid_mode=True), weights)
             total = det + nps + tv_floored + no_obj + no_cls
         elif recipe == "clsconf_creation":
             _, max_cls = max_prob_extract(
                 heads, exp.target_id, exp.num_classes, sigmoid_mode=True)
-            det = jnp.mean(max_cls)
+            det = weighted_mean(max_cls, weights)
             total = det + nps + tv_floored + no_obj + no_cls
         else:
             raise ValueError(f"unknown loss recipe {recipe!r}")
@@ -167,16 +167,18 @@ def make_train_step(net: darknet.Network, exp: ExperimentConfig,
                     printable_colors: Optional[np.ndarray] = None,
                     mesh=None) -> Callable:
     """Build the jitted sharded train step:
-    (state, params, images, labels, lr) -> (state, aux)."""
+    ``(state, params, images, labels, lr, weights=None) -> (state, aux)``.
+    ``weights`` [B] (1 real / 0 padding) makes a padded final batch exact;
+    omitted = all-real."""
     if printable_colors is None:
         printable_colors = load_printable_colors()
     loss_fn = make_loss_fn(net, exp, printable_colors)
     tx = scale_by_torch_amsgrad()
 
-    def step(state: TrainState, params, images, labels, lr):
+    def step(state: TrainState, params, images, labels, lr, weights=None):
         key, sub = jax.random.split(state.key)
         grads, aux = jax.grad(loss_fn, has_aux=True)(
-            state.patch, params, images, labels, sub)
+            state.patch, params, images, labels, weights, sub)
         updates, opt_state = tx.update(grads, state.opt_state)
         patch = jnp.clip(state.patch - lr * updates, 0.0, 1.0)
         new_state = TrainState(patch=patch, opt_state=opt_state, key=key,
@@ -187,12 +189,21 @@ def make_train_step(net: darknet.Network, exp: ExperimentConfig,
         return jax.jit(step, donate_argnums=(0,))
     rep = replicated(mesh)
     data = batch_sharding(mesh)
-    return jax.jit(
+
+    jitted = jax.jit(
         step,
-        in_shardings=(rep, rep, data, data, rep),
+        in_shardings=(rep, rep, data, data, rep, data),
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+    # in_shardings must match the passed positional args, so expose a
+    # wrapper that always passes weights (None -> ones) positionally.
+    def sharded_step(state, params, images, labels, lr, weights=None):
+        if weights is None:
+            weights = jnp.ones((images.shape[0],), jnp.float32)
+        return jitted(state, params, images, labels, lr, weights)
+
+    return sharded_step
 
 
 def init_train_state(exp: ExperimentConfig, key: jax.Array,
@@ -267,16 +278,27 @@ class PatchTrainer:
         t0 = time.time()
         n_dev = self.mesh.devices.size
         for images, labels in batches:
-            if images.shape[0] % n_dev:
-                self.log(
-                    f"skipping batch of {images.shape[0]} (not divisible "
-                    f"by the {n_dev}-device mesh; use drop_last=True)")
-                continue
+            weights = None
+            n_real = images.shape[0]
+            if n_real % n_dev or n_real != self.exp.batch_size:
+                # pad the final batch by tiling real samples; per-sample
+                # weights zero out the padding so loss/grads equal the
+                # unpadded batch's. Pad to the full batch_size when
+                # possible so the already-compiled step shape is reused.
+                target = (self.exp.batch_size
+                          if n_real < self.exp.batch_size
+                          else n_real + (-n_real % n_dev))
+                fill = np.arange(target - n_real) % n_real
+                images = np.concatenate([images, images[fill]])
+                labels = np.concatenate([labels, labels[fill]])
+                weights = jax.device_put(np.concatenate(
+                    [np.ones(n_real, np.float32),
+                     np.zeros(target - n_real, np.float32)]), data_sh)
             images = jax.device_put(images, data_sh)
             labels = jax.device_put(labels, data_sh)
             self.state, aux = self.step_fn(
                 self.state, self.params, images, labels,
-                jnp.float32(self.scheduler.lr))
+                jnp.float32(self.scheduler.lr), weights)
             # keep aux as device scalars; realize once per epoch (no
             # per-step host sync)
             aux_log.append(aux)

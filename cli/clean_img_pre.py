@@ -34,6 +34,15 @@ def main(argv=None):
     ap.add_argument("--nms", type=float, default=0.4)
     ap.add_argument("--save-images", action="store_true")
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument(
+        "--class-filter", type=int, default=None, metavar="CLS_ID",
+        help="keep only detections of this class id (the reference's "
+        "commented class-filtered GT-generation variant, "
+        "clean_img_pre.py:190-196, which kept cls_id==5)")
+    ap.add_argument(
+        "--min-box-size", type=float, default=0.0, metavar="FRAC",
+        help="with --class-filter: drop boxes with normalized w or h "
+        "below FRAC (reference used 0.1)")
     args = ap.parse_args(argv)
 
     det = build_detector(args)
@@ -57,6 +66,10 @@ def main(argv=None):
                                    args.img_size)
             arrs.append(arr)
         dets = det.detect_batch(np.stack(arrs), args.conf, args.nms)
+        if args.class_filter is not None:
+            dets = [d[(d[:, 6] == args.class_filter)
+                      & (d[:, 2] >= args.min_box_size)
+                      & (d[:, 3] >= args.min_box_size)] for d in dets]
         for name, arr, d in zip(chunk, arrs, dets):
             stem = os.path.splitext(name)[0]
             write_label_file(os.path.join(lab_dir, stem + ".txt"), d)

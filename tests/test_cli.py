@@ -61,6 +61,21 @@ def test_full_cli_pipeline(tiny_cfg, raw_images, tmp_path):
     assert len(os.listdir(os.path.join(clean_dir, "yolo-labels"))) == 3
     assert len(os.listdir(os.path.join(clean_dir, "images"))) == 3
 
+    # class-filtered GT generation (reference's commented variant:
+    # clean_img_pre.py:190-196 keeps cls_id==5, w/h >= 0.1)
+    cf_dir = str(tmp_path / "clean_cf")
+    clean_img_pre.main([
+        "--cfgfile", tiny_cfg, *MODEL_ARGS,
+        "--img-dir", raw_images, "--out-dir", cf_dir,
+        "--conf", "0.2", "--batch-size", "2",
+        "--class-filter", "5", "--min-box-size", "0.1"])
+    import glob
+    for f in glob.glob(os.path.join(cf_dir, "yolo-labels", "*.txt")):
+        rows = np.loadtxt(f, ndmin=2)
+        if rows.size:
+            assert (rows[:, 6] == 5).all()
+            assert (rows[:, 2] >= 0.1).all() and (rows[:, 3] >= 0.1).all()
+
     run_dir = str(tmp_path / "run")
     train_patch.main([
         "--mode", "paper_obj", "--cfgfile", tiny_cfg, "--img-size", "64",

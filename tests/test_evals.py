@@ -127,6 +127,25 @@ def test_detector_threshold_monotone(tiny_detector, rng):
     assert len(high) <= len(low)
 
 
+def test_detector_dense_scene_not_truncated(tiny_detector, rng):
+    """A conf sweep denser than the pre-NMS top-k cap must fall back to
+    the full candidate set, not silently truncate (round-1 weakness:
+    M1@0.01 deflation on dense post-attack scenes)."""
+    net = build_network(tiny_test_blocks())
+    params = fold_bn(net, init_params(net, jax.random.PRNGKey(5)))
+    pruned = evals.Detector(net, params, img_size=64,
+                            compute_dtype=jnp.float32, max_candidates=16)
+    imgs = rng.random((2, 64, 64, 3), dtype=np.float32)
+    # at conf 1e-6 every one of the tiny net's 252 candidates survives,
+    # saturating the 16-row prune -> exercises the full-decode fallback
+    dense = pruned.detect_batch(imgs, conf_thresh=1e-6, nms_thresh=0.4)
+    exact = tiny_detector.detect_batch(imgs, conf_thresh=1e-6,
+                                       nms_thresh=0.4)
+    for d, e in zip(dense, exact):
+        assert len(d) == len(e)
+        np.testing.assert_allclose(d, e, rtol=1e-6, atol=1e-6)
+
+
 def test_detections_to_label_rows():
     dets = np.array([[0.5, 0.5, 0.1, 0.2, 0.9, 0.8, 7]], np.float32)
     five = evals.detections_to_label_rows(dets, with_conf=False)

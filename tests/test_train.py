@@ -69,7 +69,8 @@ def test_all_loss_recipes_compile(tiny_victim, recipe):
     patch = T.init_patch(exp, jax.random.PRNGKey(0))
     (loss, aux), grads = jax.jit(jax.value_and_grad(
         loss_fn, has_aux=True))(patch, params, jnp.asarray(imgs),
-                                jnp.asarray(labs), jax.random.PRNGKey(1))
+                                jnp.asarray(labs), None,
+                                jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
     assert np.isfinite(np.asarray(grads)).all()
     assert float(jnp.abs(grads).sum()) > 0
@@ -87,10 +88,10 @@ def test_objective_actually_optimizes(tiny_victim):
     step = T.make_train_step(net, exp)
     state = T.init_train_state(exp, jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(42)
-    first = float(loss_fn(state.patch, params, imgs, labs, key)[0])
+    first = float(loss_fn(state.patch, params, imgs, labs, None, key)[0])
     for _ in range(30):
         state, aux = step(state, params, imgs, labs, jnp.float32(0.05))
-    last = float(loss_fn(state.patch, params, imgs, labs, key)[0])
+    last = float(loss_fn(state.patch, params, imgs, labs, None, key)[0])
     assert last < first
 
 
@@ -196,6 +197,49 @@ def test_creation_attack_efficacy(tiny_victim):
         hist[:10].mean(), hist[-10:].mean())
 
 
+def test_padded_final_batch_trains(tiny_victim):
+    """A final batch not divisible by the mesh is padded + masked (not
+    skipped, the round-1 behavior): both batches train, and loss stats
+    come from real samples only."""
+    net, params = tiny_victim
+    exp = tiny_exp()
+    mesh = make_mesh()
+    trainer = T.PatchTrainer(exp, net=net, params=params, mesh=mesh,
+                             log=lambda s: None)
+    data = SyntheticData(16, exp.img_size, exp.max_labels)
+    full = data.batch(8, 0)
+    imgs, labs = data.batch(8, 1)
+    partial = (imgs[:5], labs[:5])          # 5 % 8 != 0
+    patch0 = np.asarray(trainer.state.patch)
+    stats = trainer.run_epoch([full, partial], 0)
+    assert stats["num_batches"] == 2
+    assert int(trainer.state.step) == 2
+    assert np.isfinite(stats["loss"])
+    assert not np.allclose(patch0, np.asarray(trainer.state.patch))
+
+
+def test_pad_weights_zero_influence(tiny_victim):
+    """Zero-weighted pad rows must not affect the loss or the patch
+    gradient: swapping the pad images for garbage changes nothing."""
+    net, params = tiny_victim
+    exp = tiny_exp()
+    loss_fn = T.make_loss_fn(net, exp, A.data.load_printable_colors())
+    data = SyntheticData(8, exp.img_size, exp.max_labels)
+    imgs, labs = data.batch(8)
+    w = np.array([1, 1, 1, 1, 1, 0, 0, 0], np.float32)
+    garbage = imgs.copy()
+    garbage[5:] = 0.123
+    key = jax.random.PRNGKey(3)
+    patch = T.init_patch(exp, jax.random.PRNGKey(0))
+    g = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    (l1, _), g1 = g(patch, params, jnp.asarray(imgs), jnp.asarray(labs),
+                    jnp.asarray(w), key)
+    (l2, _), g2 = g(patch, params, jnp.asarray(garbage),
+                    jnp.asarray(labs), jnp.asarray(w), key)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+
 def test_make_mesh_for_batch():
     from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.parallel.mesh import (
         init_distributed, make_mesh_for_batch)
@@ -254,20 +298,20 @@ def test_trainer_with_file_loader(tmp_path, tiny_victim):
     assert np.isfinite(stats["loss"])
 
 
-def test_partial_batches_skipped_not_crashing(tiny_victim):
-    """A final partial batch that doesn't divide the mesh must be
-    skipped with a warning, not crash the sharded step."""
+def test_partial_batch_smaller_than_pad(tiny_victim):
+    """A partial batch smaller than the needed padding (3 real, 5 pad)
+    tiles its samples to fill — never skipped, never crashes."""
     net, params = tiny_victim
     exp = tiny_exp(batch_size=8)
-    msgs = []
     trainer = T.PatchTrainer(exp, net=net, params=params,
-                             log=msgs.append)
+                             log=lambda s: None)
     data = SyntheticData(8, exp.img_size, exp.max_labels)
     full = data.batch(8, 0)
     partial = tuple(a[:3] for a in data.batch(8, 1))  # 3 % 8 devices != 0
     stats = trainer.run_epoch([full, partial], 0)
-    assert stats["num_batches"] == 1
-    assert any("skipping batch" in m for m in msgs)
+    assert stats["num_batches"] == 2
+    assert int(trainer.state.step) == 2
+    assert np.isfinite(stats["loss"])
 
 
 def test_gather_warp_method_trains(tiny_victim):
