@@ -43,9 +43,13 @@ class Detector:
         self.anchor_groups = (anchor_groups if anchor_groups is not None
                               else load_anchor_groups())
         self.max_candidates = max_candidates
+        # inference is forward-only: the planar Pallas stem is a pure
+        # win there (no backward involved), so opt in on TPU
+        use_planar = jax.default_backend() == "tpu"
 
         def _decode_fields(params, images):
-            heads = darknet.apply(net, params, images, compute_dtype)
+            heads = darknet.apply(net, params, images, compute_dtype,
+                                  planar_stem=use_planar)
             boxes, obj, cls = decode_all_heads(
                 heads, self.anchor_groups, (img_size, img_size),
                 num_classes)
@@ -78,7 +82,8 @@ class Detector:
 
         @jax.jit
         def _detect_device(params, images, conf_thresh, nms_thresh):
-            heads = darknet.apply(net, params, images, compute_dtype)
+            heads = darknet.apply(net, params, images, compute_dtype,
+                                  planar_stem=use_planar)
             boxes, obj, cls = decode_all_heads(
                 heads, self.anchor_groups, (img_size, img_size),
                 num_classes)

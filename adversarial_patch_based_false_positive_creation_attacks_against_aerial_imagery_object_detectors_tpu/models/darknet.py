@@ -266,7 +266,8 @@ def _upsample(x: jnp.ndarray, scale: int) -> jnp.ndarray:
 
 def apply(net: Network, params: Params, x: jnp.ndarray,
           compute_dtype=jnp.float32,
-          packed_stem: bool = False) -> List[jnp.ndarray]:
+          packed_stem: bool = False,
+          planar_stem: Optional[bool] = None) -> List[jnp.ndarray]:
     """Run the detector. ``x``: [B, H, W, 3] float in [0, 1] (NHWC).
 
     Returns the three raw heads [B, S, S, 3*(5+C)] in float32, in cfg order
@@ -286,7 +287,22 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
     saved = set(net.saved_outputs)
     prev = x
     start = 0
-    if packed_stem and "b" in params.get("conv_0", {}):
+    if planar_stem is None:
+        # default off for now: the planar forward wins (~1.6 ms/step at
+        # b8) but the mixed planar/XLA backward still loses to XLA's
+        # fused autodiff (profiled: conv1-dx + layout copies ~3.9 ms,
+        # unfused leaky masks ~2.5 ms). Inference paths (Detector)
+        # opt in explicitly; training flips on when the planar s2
+        # backward kernels land.
+        planar_stem = False
+    if planar_stem:
+        from . import stem_planar
+        if stem_planar.stem_applicable(net, params, x.shape):
+            sp = stem_planar._stem_params(params, compute_dtype)
+            prev = stem_planar.planar_stem(x.astype(compute_dtype), sp)
+            outputs[5] = prev
+            start = 6
+    if start == 0 and packed_stem and "b" in params.get("conv_0", {}):
         from .stem import packed_stem_apply, stem_applicable
         if stem_applicable(net):
             prev = packed_stem_apply(

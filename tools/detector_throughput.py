@@ -31,9 +31,9 @@ dev_imgs = jnp.asarray(imgs)
 
 @jax.jit
 def step(params, x):
-    out = det._infer.__wrapped__(params, x) if hasattr(
-        det._infer, "__wrapped__") else det._infer(params, x)
-    return x + 1e-12 * jnp.mean(out["score"]), out["score"]
+    vals = det._infer(params, x)   # [B, k, 8]; col 7 = score
+    score = vals[..., 7]
+    return x + 1e-12 * jnp.mean(score), score
 
 x, s0 = step(det.params, dev_imgs)
 float(jnp.sum(s0))
