@@ -24,6 +24,7 @@ the reference holds elementwise.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -288,13 +289,16 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
     prev = x
     start = 0
     if planar_stem is None:
-        # default off for now: the planar forward wins (~1.6 ms/step at
-        # b8) but the mixed planar/XLA backward still loses to XLA's
-        # fused autodiff (profiled: conv1-dx + layout copies ~3.9 ms,
-        # unfused leaky masks ~2.5 ms). Inference paths (Detector)
-        # opt in explicitly; training flips on when the planar s2
-        # backward kernels land.
-        planar_stem = False
+        # Default OFF: the planar FORWARD wins (5.3 vs 8.2 ms at b8 —
+        # inference paths like Detector opt in explicitly), but
+        # differentiating through the custom_vjp still loses end to end
+        # (train step 39.3 vs 32.1 ms at b8) even with the fully planar
+        # backward: the s2 input-grads pay for zero-interleaved
+        # expansion and the saved planar residuals block XLA's own
+        # stem-backward fusion/remat. Measured A/B in ROADMAP.md.
+        # ADV_PATCH_PLANAR_STEM=0/1 overrides for experiments.
+        env = os.environ.get("ADV_PATCH_PLANAR_STEM")
+        planar_stem = env == "1"
     if planar_stem:
         from . import stem_planar
         if stem_planar.stem_applicable(net, params, x.shape):

@@ -7,12 +7,14 @@ block-1 shortcut into conv3's epilogue. Activations stay planar across
 the whole stem; one transpose in at C=3 (trivial) and one out at C=128
 (lane-dense) — measured ~0.1 ms round trip.
 
-The backward is a hand-written XLA transpose-conv chain over the saved
-planar activations (leaky's input sign is recoverable from its output
-sign, so no pre-activations are stored). It matches jax.grad of the
-NHWC reference chain and costs the same as the autodiff backward the
-XLA path produces; swapping in planar backward kernels behind this
-interface is the next optimization.
+The backward is hand-written and runs entirely on the planar kernels
+over the saved planar activations (leaky's input sign is recoverable
+from its output sign, so no pre-activations are stored): stride-1/1x1
+input-grads are flipped-kernel planar convs; stride-2 input-grads are
+zero-interleave (one lax.pad) + the same stride-1 kernel, the exact
+adjoint of the forward's conv-then-decimate formulation; leaky masks
+are fused into the conv epilogues (``gate``). It matches jax.grad of
+the NHWC reference chain to test tolerance.
 
 Only the patch (network input) is ever differentiated in this framework
 (reference train_patch.py:131 optimizes patch pixels only), so the
@@ -25,9 +27,9 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
-from ..ops.planar_conv import from_planar, planar_conv, to_planar
+from ..ops.planar_conv import (expand2_planar, from_planar, planar_conv,
+                               to_planar)
 
 # layer indices of the stem in the yolov3 block list and their conv
 # geometry: (k, stride, fused_residual_from)
@@ -88,29 +90,6 @@ def _forward(x, sp, interpret=False):
     return y0, y1, y2, y3, y5
 
 
-def _conv_t(g, w, stride, x_hw):
-    """Input-cotangent of lax.conv(x, w, stride, darknet padding) — the
-    exact adjoint, via linear_transpose of the forward conv."""
-    pad = (w.shape[0] - 1) // 2
-    w = w.astype(g.dtype)
-
-    def fwd(v):
-        return lax.conv_general_dilated(
-            v, w, (stride, stride), [(pad, pad), (pad, pad)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-    xs = jax.ShapeDtypeStruct((g.shape[0], x_hw, x_hw, w.shape[2]),
-                              g.dtype)
-    return jax.linear_transpose(fwd, xs)(g)[0]
-
-
-def _leaky_bwd(g, y_planar, w_img):
-    """g * leaky'(pre), recovering sign(pre) from the planar output
-    (leaky is monotone; post-shortcut outputs are never used here)."""
-    y = from_planar(y_planar, w_img)
-    return g * jnp.where(y > 0, 1.0, 0.1).astype(g.dtype)
-
-
 def _leaky_bwd_planar(gp, yp):
     """Planar-layout leaky backward: zero borders stay zero (g's
     borders are zero and multiply keeps them so)."""
@@ -144,35 +123,46 @@ def _stem_fwd(x, sp):
 
 
 def _stem_bwd(resid, g5, interpret=False):
-    """Mixed planar/XLA backward: stride-1 and 1x1 input-gradients are
-    themselves planar convs (flipped+transposed kernels) and run on the
-    Pallas kernels; the two stride-2 input-gradients (lhs-dilated convs,
-    which the planar kernels don't cover) stay on XLA. Profiled on v5e:
-    the XLA autodiff backward spent 4.5 ms on conv0-dx alone (layout
-    {0,3,2,1} — batch-minor!), ~9 ms total; this chain is ~4 ms."""
+    """Fully planar backward — every input-cotangent is a planar Pallas
+    conv. Stride-1/1x1 input-grads use flipped+transposed kernels
+    directly; the two stride-2 input-grads use the exact adjoint of the
+    forward kernels' own formulation (conv_s1 then even-index
+    decimation): zero-interleave rows/cols (``expand2_planar``, one
+    lax.pad) then the same stride-1 kernel. The big leaky-backward masks
+    (y2, y1, y0) are fused into the producing conv's epilogue via the
+    ``gate`` operand; only the small y5/y3 masks remain XLA elementwise.
+    (The previous mixed planar/XLA chain lost ~2 ms/step at b8 to
+    batch-minor layout copies around XLA's lhs-dilated s2 grads and the
+    unfused masks — measured in ROADMAP.md.)"""
     x, sp, y0, y1, y2, y3, y5 = resid
     (w0, _), (w1, _), (w2, _), (w3, _), (w5, _) = sp
     h = x.shape[1]
-    # conv5 (s2): XLA input-grad; pre-act sign from y5
-    y5n = from_planar(y5, h // 4, c=128)
-    gp5 = g5 * jnp.where(y5n > 0, 1.0, 0.1).astype(g5.dtype)
-    g_sc = to_planar(_conv_t(gp5, w5, 2, h // 2))   # d/d(shortcut out)
-    # shortcut output feeds conv3 branch and (residually) y1
+
+    def zb(w):  # zero bias for cotangent convs
+        return jnp.zeros(w.shape[-1], jnp.float32)
+
+    # conv5 (s2): pre-act sign from y5 at decimated resolution (the
+    # zero-interleaved positions carry zero cotangent either way)
+    gp5 = _leaky_bwd_planar(to_planar(g5), y5)
+    w5t = _flip_t(w5)
+    g_sc = planar_conv(expand2_planar(gp5, h // 4), w5t, zb(w5t),
+                       k=3, slope=None, interpret=interpret)
+    # shortcut output feeds conv3's branch and (residually) y1; g_sc is
+    # consumed raw twice, so its mask cannot be epilogue-fused
     gp3 = _leaky_bwd_planar(g_sc, y3)               # y3 is pre-residual
     w3t = _flip_t(w3)
-    g_x3 = planar_conv(gp3, w3t, jnp.zeros(w3t.shape[-1], jnp.float32),
-                       k=3, slope=None, interpret=interpret)
-    gp2 = _leaky_bwd_planar(g_x3, y2)
+    gp2 = planar_conv(gp3, w3t, zb(w3t), k=3, slope=None, gate=y2,
+                      interpret=interpret)
     w2t = _flip_t(w2)
-    g_y1 = planar_conv(gp2, w2t, jnp.zeros(w2t.shape[-1], jnp.float32),
-                       k=1, slope=None, interpret=interpret) + g_sc
-    gp1 = _leaky_bwd_planar(g_y1, y1)
-    # conv1 (s2): XLA input-grad
-    g_x1 = to_planar(_conv_t(from_planar(gp1, h // 2), w1, 2, h))
-    gp0 = _leaky_bwd_planar(g_x1, y0)
+    gp1 = planar_conv(gp2, w2t, zb(w2t), res=g_sc, k=1, slope=None,
+                      gate=y1, interpret=interpret)
+    # conv1 (s2) input-grad, with y0's leaky mask fused
+    w1t = _flip_t(w1)
+    gp0 = planar_conv(expand2_planar(gp1, h // 2), w1t, zb(w1t),
+                      k=3, slope=None, gate=y0, interpret=interpret)
     w0t = _pad_cout(_flip_t(w0))                    # cout 3 -> 8 aligned
-    g_x0p = planar_conv(gp0, w0t, jnp.zeros(w0t.shape[-1], jnp.float32),
-                        k=3, slope=None, interpret=interpret)
+    g_x0p = planar_conv(gp0, w0t, zb(w0t), k=3, slope=None,
+                        interpret=interpret)
     g_x0 = from_planar(g_x0p, h, c=3)
     zeros = jax.tree_util.tree_map(jnp.zeros_like, sp)
     return g_x0, zeros

@@ -74,13 +74,35 @@ def _leaky(x, slope):
     return jnp.maximum(x, x * slope) if slope is not None else x
 
 
+def expand2_planar(xp: jnp.ndarray, w_img: int) -> jnp.ndarray:
+    """Zero-interleave rows and image columns: planar [B, H, C, Wl] at
+    (H, W) -> planar [B, 2H, C, Wl'] at (2H, 2W) with value (i, j) at
+    (2i, 2j). This is the exact adjoint of the stride-2 forward kernels'
+    even-index decimation, so
+    ``planar_conv(expand2_planar(g), flip_t(w), 0, k=3, slope=None)``
+    is the exact input-cotangent of ``planar_conv(x, w, b, k=3,
+    stride=2)`` (one lax.pad with interior padding — a pure layout op)."""
+    b, h, c, _ = xp.shape
+    interior = xp[:, :, :, 1:w_img + 1]
+    w2 = 2 * w_img
+    wl2 = _round_up(w2 + 2, 128)
+    z = jnp.zeros_like(interior)
+    # stack+reshape interleaves (value at even index) — measured much
+    # faster on TPU than lax.pad with interior padding, which lowers
+    # scatter-like
+    lanes = jnp.stack([interior, z], axis=-1).reshape(b, h, c, w2)
+    rows = jnp.stack([lanes, jnp.zeros_like(lanes)],
+                     axis=2).reshape(b, 2 * h, c, w2)
+    return jnp.pad(rows, ((0, 0), (0, 0), (0, 0), (1, wl2 - w2 - 1)))
+
+
 # ---------------------------------------------------------------------------
 # Kernel bodies
 # ---------------------------------------------------------------------------
 
 def _k3_kernel(x_hbm, w_ref, b_ref, out_ref, xp, sh, sem, *,
                h_in, w_img, cin, cout, r_out, stride, slope, small_cin,
-               prec=None, res_ref=None):
+               prec=None, res_ref=None, gate_ref=None, gate_slope=0.1):
     """3x3 conv, stride 1 or 2.
 
     x_hbm: [B, H, cin, W+2] in ANY/HBM; manual halo DMA.
@@ -180,6 +202,12 @@ def _k3_kernel(x_hbm, w_ref, b_ref, out_ref, xp, sh, sem, *,
         wo = y.shape[1]
         if res_ref is not None:
             y = y + res_ref[0, r, :, 1:wo + 1].astype(jnp.float32)
+        if gate_ref is not None:
+            # vector-vector select (where with scalar arms trips a
+            # Mosaic relayout); compare in f32 (packed-bf16 cmpf is
+            # unsupported on v5e)
+            gv = gate_ref[0, r, :, 1:wo + 1].astype(jnp.float32)
+            y = jnp.where(gv > 0, y, y * gate_slope)
         wl_out = out_ref.shape[3]
         out_ref[0, r, :, 1:wo + 1] = y.astype(out_ref.dtype)
         out_ref[0, r, :, 0:1] = jnp.zeros((cout, 1), out_ref.dtype)
@@ -218,7 +246,7 @@ def _k3_kernel(x_hbm, w_ref, b_ref, out_ref, xp, sh, sem, *,
 
 
 def _k1_kernel(x_ref, w_ref, b_ref, out_ref, *, cout, slope, w_img,
-               prec=None, res_ref=None):
+               prec=None, res_ref=None, gate_ref=None, gate_slope=0.1):
     """1x1 conv: blocked matmul over [cin, Wl] rows. No halo, auto-DMA."""
     r_out = x_ref.shape[1]
     wl = x_ref.shape[3]
@@ -233,6 +261,9 @@ def _k1_kernel(x_ref, w_ref, b_ref, out_ref, *, cout, slope, w_img,
         y = _leaky(acc + bias, slope)
         if res_ref is not None:
             y = y + res_ref[0, r].astype(jnp.float32)
+        if gate_ref is not None:
+            gv = gate_ref[0, r].astype(jnp.float32)
+            y = jnp.where(gv > 0, y, y * gate_slope)
         out_ref[0, r] = jnp.where(mask, y, 0.0).astype(out_ref.dtype)
 
 
@@ -245,8 +276,10 @@ SMALL_CIN_MAX = 8  # 9*cin <= 72 <= 128: single-matmul-per-row path
 VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under the 16M scoped limit
 
 
-def _auto_r_out(h_out, cin, cout, stride, wl_in, wl_out, w_img, isize, k):
-    """Largest row-block (pow2-ish) whose scratch + blocks fit VMEM."""
+def _auto_r_out(h_out, cin, cout, stride, wl_in, wl_out, w_img, isize, k,
+                n_out_blocks=1):
+    """Largest row-block (pow2-ish) whose scratch + blocks fit VMEM.
+    ``n_out_blocks``: out + any res/gate operands blocked like it."""
     for r in (16, 8, 4, 2, 1):
         if h_out % r:
             continue
@@ -256,7 +289,7 @@ def _auto_r_out(h_out, cin, cout, stride, wl_in, wl_out, w_img, isize, k):
         sh = (r * 9 * cin * w_img if cin <= SMALL_CIN_MAX
               else r_in * 3 * cin * w_img) if k == 3 else 0
         xp_s = r_in * cin * wl_in if k == 3 else 2 * r * cin * wl_in
-        est = isize * (xp_s + sh + 2 * r * cout * wl_out)
+        est = isize * (xp_s + sh + 2 * n_out_blocks * r * cout * wl_out)
         if est <= VMEM_BUDGET:
             return r
     return 1
@@ -265,19 +298,24 @@ def _auto_r_out(h_out, cin, cout, stride, wl_in, wl_out, w_img, isize, k):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "stride", "slope", "r_out", "w_img",
-                     "interpret"))
+                     "gate_slope", "interpret"))
 def planar_conv(xp: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                 res: Optional[jnp.ndarray] = None, *,
                 k: int, stride: int = 1, slope: Optional[float] = 0.1,
                 r_out: Optional[int] = None, w_img: Optional[int] = None,
+                gate: Optional[jnp.ndarray] = None,
+                gate_slope: float = 0.1,
                 interpret: bool = False) -> jnp.ndarray:
-    """Conv + bias + leaky (+ residual add) on planar activations.
+    """Conv + bias + leaky (+ residual add, + gate) on planar activations.
 
     xp: [B, H, cin, Wl] (to_planar format); w: [k, k, cin, cout] HWIO;
     b: [cout]; res: optional [B, H_out, cout, Wl_out] added *after* the
     activation (darknet shortcut semantics); w_img: image width
-    (defaults to H — square). Returns [B, H_out, cout, Wl_out] planar,
-    dtype of xp.
+    (defaults to H — square). ``gate``: optional [B, H_out, cout,
+    Wl_out] tensor whose sign scales the output LAST (after res):
+    ``out *= where(gate > 0, 1, gate_slope)`` — the fused leaky-backward
+    mask used by the stem's backward pass (stem_planar._stem_bwd).
+    Returns [B, H_out, cout, Wl_out] planar, dtype of xp.
     """
     batch, h_in, cin, wl_in = xp.shape
     w_img = w_img if w_img is not None else h_in
@@ -288,8 +326,9 @@ def planar_conv(xp: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     w_out = w_img // stride
     wl_out = _round_up(w_out + 2, 128)
     if r_out is None:
+        n_out = 1 + (res is not None) + (gate is not None)
         r_out = _auto_r_out(h_out, cin, cout, stride, wl_in, wl_out,
-                            w_img, xp.dtype.itemsize, k)
+                            w_img, xp.dtype.itemsize, k, n_out)
     assert h_out % r_out == 0, (h_out, r_out)
     assert wl_in == _round_up(w_img + 2, 128), (wl_in, w_img)
     grid = (batch, h_out // r_out)
@@ -313,16 +352,20 @@ def planar_conv(xp: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
         args = [xp, wmat, bias2d]
-        if res is not None:
-            in_specs.append(out_spec)
-            args.append(res)
+        extra = []
+        for name, t in (("res_ref", res), ("gate_ref", gate)):
+            if t is not None:
+                in_specs.append(out_spec)
+                args.append(t)
+                extra.append(name)
         kernel = functools.partial(
-            _k1_kernel, cout=cout, slope=slope, w_img=w_img, prec=prec)
-        if res is not None:
-            body = lambda x_, w_, b_, r_, o_: kernel(x_, w_, b_, o_,
-                                                     res_ref=r_)
-        else:
-            body = kernel
+            _k1_kernel, cout=cout, slope=slope, w_img=w_img, prec=prec,
+            gate_slope=gate_slope)
+
+        def body(x_, w_, b_, *rest):
+            opt, o_ = rest[:len(extra)], rest[len(extra)]
+            kernel(x_, w_, b_, o_, **dict(zip(extra, opt)))
+
         return pl.pallas_call(
             body, grid=grid, in_specs=in_specs, out_specs=out_spec,
             out_shape=out_shape, interpret=interpret,
@@ -345,19 +388,22 @@ def planar_conv(xp: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
     ]
     args = [xp, wmat, bias2d]
-    if res is not None:
-        in_specs.append(out_spec)
-        args.append(res)
+    extra = []
+    for name, t in (("res_ref", res), ("gate_ref", gate)):
+        if t is not None:
+            in_specs.append(out_spec)
+            args.append(t)
+            extra.append(name)
 
     base = functools.partial(
         _k3_kernel, h_in=h_in, w_img=w_img, cin=cin, cout=cout,
         r_out=r_out, stride=stride, slope=slope, small_cin=small,
-        prec=prec)
-    if res is not None:
-        body = lambda x_, w_, b_, rr_, o_, xp_, sh_, sem_: base(
-            x_, w_, b_, o_, xp_, sh_, sem_, res_ref=rr_)
-    else:
-        body = base
+        prec=prec, gate_slope=gate_slope)
+
+    def body(x_, w_, b_, *rest):
+        opt = rest[:len(extra)]
+        o_, xp_, sh_, sem_ = rest[len(extra):]
+        base(x_, w_, b_, o_, xp_, sh_, sem_, **dict(zip(extra, opt)))
 
     return pl.pallas_call(
         body, grid=grid, in_specs=in_specs, out_specs=out_spec,
@@ -376,7 +422,7 @@ def planar_conv(xp: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def planar_conv_reference(xp, w, b, res=None, *, k, stride=1, slope=0.1,
-                          w_img=None):
+                          w_img=None, gate=None, gate_slope=0.1):
     """Same contract as planar_conv, via lax.conv (for tests/backward)."""
     x = from_planar(xp, w_img, c=w.shape[2])
     pad = (k - 1) // 2
@@ -389,4 +435,6 @@ def planar_conv_reference(xp, w, b, res=None, *, k, stride=1, slope=0.1,
     yp = to_planar(y)
     if res is not None:
         yp = yp + res
+    if gate is not None:
+        yp = yp * jnp.where(gate > 0, 1.0, gate_slope).astype(yp.dtype)
     return yp

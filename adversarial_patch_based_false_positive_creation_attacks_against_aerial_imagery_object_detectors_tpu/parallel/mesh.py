@@ -21,15 +21,25 @@ DATA_AXIS = "data"
 
 def init_distributed() -> bool:
     """Initialize multi-host JAX when launched under a multi-process
-    runtime (env-driven: JAX_COORDINATOR_ADDRESS / standard TPU pod
-    envs). Safe no-op on single host. Returns True when a multi-process
-    runtime was initialized."""
+    runtime. Env-driven: on TPU pods ``jax.distributed.initialize()``
+    auto-detects; elsewhere (e.g. CPU multi-process, exercised by
+    tests/test_distributed.py) pass JAX_COORDINATOR_ADDRESS +
+    JAX_NUM_PROCESSES + JAX_PROCESS_ID explicitly. Safe no-op on a
+    single host. Returns True when a multi-process runtime was
+    initialized."""
     import os
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-            "MEGASCALE_COORDINATOR_ADDRESS"):
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not (addr or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")):
+        return False
+    n = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if addr and n is not None and pid is not None:
+        jax.distributed.initialize(coordinator_address=addr,
+                                   num_processes=int(n),
+                                   process_id=int(pid))
+    else:
         jax.distributed.initialize()
-        return True
-    return False
+    return True
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:

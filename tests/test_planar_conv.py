@@ -42,6 +42,72 @@ def test_planar_conv_parity(name, h, cin, cout, k, s, cstore, res, rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_expand2_planar(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)), jnp.float32)
+    xp = P.to_planar(x)
+    ep = P.expand2_planar(xp, 8)
+    assert ep.shape == (2, 16, 16, 128)
+    dense = np.zeros((2, 16, 16, 16), np.float32)
+    dense[:, ::2, ::2] = np.asarray(x)
+    np.testing.assert_array_equal(
+        np.asarray(P.from_planar(ep, 16, c=16)), dense)
+    # still valid planar format: zero border + zero lane tail
+    assert float(jnp.abs(ep[:, :, :, 0]).max()) == 0
+    assert float(jnp.abs(ep[:, :, :, 17:]).max()) == 0
+
+
+@pytest.mark.parametrize("k,res", [(3, False), (1, False), (1, True)])
+def test_planar_conv_gate(k, res, rng):
+    """gate multiplies the output (after res) by where(gate>0, 1, 0.1) —
+    the fused leaky-backward mask."""
+    h, cin, cout = 32, 16, 8
+    x = jnp.asarray(rng.standard_normal((2, h, h, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.2,
+                    jnp.float32)
+    b = jnp.asarray(rng.standard_normal(cout) * 0.1, jnp.float32)
+    xp = P.to_planar(x)
+    gate = P.to_planar(jnp.asarray(
+        rng.standard_normal((2, h, h, cout)), jnp.float32))
+    r = None
+    if res:
+        r = P.to_planar(jnp.asarray(
+            rng.standard_normal((2, h, h, cout)), jnp.float32))
+    got = P.planar_conv(xp, w, b, r, k=k, slope=None, gate=gate,
+                        interpret=True)
+    want = P.planar_conv_reference(xp, w, b, r, k=k, slope=None,
+                                   gate=gate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("cin,cout", [(8, 16), (48, 32)])
+def test_s2_adjoint_via_expand(cin, cout, rng):
+    """expand2_planar + stride-1 flipped-kernel conv is the exact
+    input-cotangent of the stride-2 forward conv (linear_transpose
+    oracle) — the planar stride-2 backward building block."""
+    h = 16
+    x = jnp.asarray(rng.standard_normal((2, h, h, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.2,
+                    jnp.float32)
+    g = jnp.asarray(rng.standard_normal((2, h // 2, h // 2, cout)),
+                    jnp.float32)
+
+    def fwd(v):
+        return jax.lax.conv_general_dilated(
+            v, w, (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
+
+    want = jax.linear_transpose(
+        fwd, jax.ShapeDtypeStruct(x.shape, x.dtype))(g)[0]
+    wt = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
+    gp = P.planar_conv(P.expand2_planar(P.to_planar(g), h // 2), wt,
+                       jnp.zeros(cin, jnp.float32), k=3, slope=None,
+                       interpret=True)
+    np.testing.assert_allclose(np.asarray(P.from_planar(gp, h, c=cin)),
+                               np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
 def test_planar_roundtrip(rng):
     x = jnp.asarray(rng.standard_normal((2, 16, 16, 5)), jnp.float32)
     xp = P.to_planar(x, c_pad=8)
