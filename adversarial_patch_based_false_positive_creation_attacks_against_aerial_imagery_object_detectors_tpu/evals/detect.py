@@ -43,13 +43,15 @@ class Detector:
         self.anchor_groups = (anchor_groups if anchor_groups is not None
                               else load_anchor_groups())
         self.max_candidates = max_candidates
-        # inference is forward-only: the planar Pallas stem is a pure
-        # win there (no backward involved), so opt in on TPU
-        use_planar = jax.default_backend() == "tpu"
+        # inference is forward-only: the Pallas stems are a pure win
+        # there (fused megakernel 4.5 ms vs planar 5.3 vs XLA 8.2 at b8
+        # 608^2), so opt in on TPU; apply() falls back fused -> planar
+        # -> XLA when the stem geometry doesn't match
+        on_tpu = jax.default_backend() == "tpu"
 
         def _decode_fields(params, images):
             heads = darknet.apply(net, params, images, compute_dtype,
-                                  planar_stem=use_planar)
+                                  planar_stem=on_tpu, fused_stem=on_tpu)
             boxes, obj, cls = decode_all_heads(
                 heads, self.anchor_groups, (img_size, img_size),
                 num_classes)
@@ -83,7 +85,7 @@ class Detector:
         @jax.jit
         def _detect_device(params, images, conf_thresh, nms_thresh):
             heads = darknet.apply(net, params, images, compute_dtype,
-                                  planar_stem=use_planar)
+                                  planar_stem=on_tpu, fused_stem=on_tpu)
             boxes, obj, cls = decode_all_heads(
                 heads, self.anchor_groups, (img_size, img_size),
                 num_classes)

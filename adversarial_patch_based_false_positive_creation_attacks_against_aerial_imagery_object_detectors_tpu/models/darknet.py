@@ -268,7 +268,8 @@ def _upsample(x: jnp.ndarray, scale: int) -> jnp.ndarray:
 def apply(net: Network, params: Params, x: jnp.ndarray,
           compute_dtype=jnp.float32,
           packed_stem: bool = False,
-          planar_stem: Optional[bool] = None) -> List[jnp.ndarray]:
+          planar_stem: Optional[bool] = None,
+          fused_stem: Optional[bool] = None) -> List[jnp.ndarray]:
     """Run the detector. ``x``: [B, H, W, 3] float in [0, 1] (NHWC).
 
     Returns the three raw heads [B, S, S, 3*(5+C)] in float32, in cfg order
@@ -282,13 +283,42 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
     3-channel stem (14.7 vs 13.4 ms fwd at batch 8), so it defaults off;
     it is kept as a validated option for hardware where small-channel
     convs are worse. Requires BN-folded params.
+
+    ``fused_stem`` / ``planar_stem`` select the Pallas fast paths for
+    layers 0-5 (ops/stem_fused.py megakernels / ops/planar_conv.py
+    per-layer kernels); tried in that order, falling back to the plain
+    XLA conv walk when the stem geometry doesn't match. ``None`` =
+    resolve from env/platform (see inline comments).
     """
     outputs: Dict[int, jnp.ndarray] = {}
     heads: List[jnp.ndarray] = []
     saved = set(net.saved_outputs)
     prev = x
     start = 0
-    if planar_stem is None:
+    if fused_stem is None:
+        # The fused stripe megakernels (ops/stem_fused.py) keep the
+        # whole 5-conv stem chain in VMEM, forward and input-backward
+        # (flash-style recompute): measured 31.1 vs 32.0 ms/train-step
+        # and 4.5 vs 8.2 ms fwd at b8 608^2 on one v5e. Default ON for
+        # single-device TPU only — under a >1-device auto-SPMD mesh
+        # GSPMD treats the opaque pallas_call as replicated, which
+        # would silently gather the sharded batch.
+        # ADV_PATCH_FUSED_STEM=0/1 overrides either way.
+        env = os.environ.get("ADV_PATCH_FUSED_STEM")
+        if env is not None:
+            fused_stem = env == "1"
+        else:
+            fused_stem = (jax.default_backend() == "tpu"
+                          and jax.device_count() == 1)
+    if fused_stem:
+        from . import stem_planar
+        from ..ops import stem_fused
+        if stem_planar.stem_applicable(net, params, x.shape):
+            sp = stem_planar._stem_params(params, compute_dtype)
+            prev = stem_fused.fused_stem(x.astype(compute_dtype), sp)
+            outputs[5] = prev
+            start = 6
+    if start == 0 and planar_stem is None:
         # Default OFF: the planar FORWARD wins (5.3 vs 8.2 ms at b8 —
         # inference paths like Detector opt in explicitly), but
         # differentiating through the custom_vjp still loses end to end
@@ -299,7 +329,7 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
         # ADV_PATCH_PLANAR_STEM=0/1 overrides for experiments.
         env = os.environ.get("ADV_PATCH_PLANAR_STEM")
         planar_stem = env == "1"
-    if planar_stem:
+    if start == 0 and planar_stem:
         from . import stem_planar
         if stem_planar.stem_applicable(net, params, x.shape):
             sp = stem_planar._stem_params(params, compute_dtype)
