@@ -313,7 +313,7 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
     if fused_stem:
         from . import stem_planar
         from ..ops import stem_fused
-        if stem_planar.stem_applicable(net, params, x.shape):
+        if stem_fused.fused_applicable(net, params, x.shape):
             sp = stem_planar._stem_params(params, compute_dtype)
             prev = stem_fused.fused_stem(x.astype(compute_dtype), sp)
             outputs[5] = prev

@@ -922,6 +922,18 @@ def fused_stem_bwd_saved(acts, g5p, sp, s5: Optional[int] = None,
 # custom_vjp wrapper (NHWC in / NHWC out) — the drop-in stem
 # ---------------------------------------------------------------------------
 
+def fused_applicable(net, params, x_shape) -> bool:
+    """stem_planar.stem_applicable AND the yolov3 channel widths these
+    kernels hard-code in their block-sparse weight matrices
+    (3->32->64->32->64->128); the planar per-layer kernels are
+    channel-generic, the megakernels are not."""
+    from ..models.stem_planar import STEM_CONVS, stem_applicable
+    if not stem_applicable(net, params, x_shape):
+        return False
+    filters = tuple(net.layers[i].conv.filters for i in STEM_CONVS)
+    return filters == (32, 64, 32, 64, 128)
+
+
 @jax.custom_vjp
 def fused_stem(x, sp):
     """NHWC [B,H,W,3] -> NHWC [B,H/4,W/4,128] through the fused

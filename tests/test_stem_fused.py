@@ -143,3 +143,21 @@ def test_fused_stem_custom_vjp(rng, monkeypatch):
     scale = np.abs(want_g).max()
     np.testing.assert_allclose(got_g[ok], want_g[ok], rtol=2e-5,
                                atol=2e-5 * scale)
+
+
+def test_fused_applicable_rejects_other_channel_widths():
+    """The megakernels hard-code yolov3 stem widths; a structurally
+    similar stem with different filter counts (e.g. the tiny test cfg)
+    must fall back instead of reshaping garbage."""
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu import models as M
+
+    tiny = M.build_network(M.tiny_test_blocks())
+    params = M.fold_bn(tiny, M.init_params(tiny, jax.random.PRNGKey(0)))
+    assert not SF.fused_applicable(tiny, params, (1, 64, 64, 3))
+    full = M.build_network(M.yolov3_blocks(width=64, height=64))
+    fparams = M.fold_bn(full, M.init_params(full, jax.random.PRNGKey(0)))
+    assert SF.fused_applicable(full, fparams, (1, 64, 64, 3))
+    # and apply() with the flag forced on must still run the tiny net
+    heads = M.apply(tiny, params, jnp.zeros((1, 64, 64, 3)),
+                    fused_stem=True)
+    assert len(heads) >= 1
