@@ -269,7 +269,8 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
           compute_dtype=jnp.float32,
           packed_stem: bool = False,
           planar_stem: Optional[bool] = None,
-          fused_stem: Optional[bool] = None) -> List[jnp.ndarray]:
+          fused_stem: Optional[bool] = None,
+          mesh=None) -> List[jnp.ndarray]:
     """Run the detector. ``x``: [B, H, W, 3] float in [0, 1] (NHWC).
 
     Returns the three raw heads [B, S, S, 3*(5+C)] in float32, in cfg order
@@ -303,19 +304,36 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
         # single-device TPU only — under a >1-device auto-SPMD mesh
         # GSPMD treats the opaque pallas_call as replicated, which
         # would silently gather the sharded batch.
-        # ADV_PATCH_FUSED_STEM=0/1 overrides either way.
+        # ADV_PATCH_FUSED_STEM=0/1 overrides either way. A >1-device
+        # ``mesh`` routes the stem through shard_map (batch sharded on
+        # the mesh's first axis, weights replicated) so each device
+        # runs the kernel on its local batch.
         env = os.environ.get("ADV_PATCH_FUSED_STEM")
         if env is not None:
             fused_stem = env == "1"
         else:
             fused_stem = (jax.default_backend() == "tpu"
-                          and jax.device_count() == 1)
+                          and (jax.device_count() == 1
+                               or mesh is not None))
     if fused_stem:
         from . import stem_planar
         from ..ops import stem_fused
-        if stem_fused.fused_applicable(net, params, x.shape):
+        n_dev = 1 if mesh is None else mesh.devices.size
+        if (stem_fused.fused_applicable(net, params, x.shape)
+                and x.shape[0] % n_dev == 0):
             sp = stem_planar._stem_params(params, compute_dtype)
-            prev = stem_fused.fused_stem(x.astype(compute_dtype), sp)
+            xc = x.astype(compute_dtype)
+            if n_dev > 1:
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+                axis = mesh.axis_names[0]
+                fn = shard_map(
+                    stem_fused.fused_stem, mesh=mesh,
+                    in_specs=(P(axis), P()), out_specs=P(axis),
+                    check_rep=False)
+                prev = fn(xc, sp)
+            else:
+                prev = stem_fused.fused_stem(xc, sp)
             outputs[5] = prev
             start = 6
     if start == 0 and planar_stem is None:

@@ -110,7 +110,7 @@ def init_patch(exp: ExperimentConfig, key: jax.Array,
 
 
 def make_loss_fn(net: darknet.Network, exp: ExperimentConfig,
-                 printable_colors: np.ndarray) -> Callable:
+                 printable_colors: np.ndarray, mesh=None) -> Callable:
     eot_cfg = EOTConfig(img_size=exp.img_size,
                         scale_factor=exp.scale_factor,
                         do_rotate=exp.do_rotate,
@@ -124,7 +124,8 @@ def make_loss_fn(net: darknet.Network, exp: ExperimentConfig,
     def loss_fn(patch, params, images, labels, weights, key):
         patched, centers = apply_eot_patch(patch, images, labels, key,
                                            eot_cfg)
-        heads = darknet.apply(net, params, patched, compute_dtype)
+        heads = darknet.apply(net, params, patched, compute_dtype,
+                              mesh=mesh)
         cell_obj, cell_cls = extract_cell_scores(
             heads, centers, exp.img_size, exp.num_classes,
             swap_xy=exp.cell_swap_xy)
@@ -172,7 +173,9 @@ def make_train_step(net: darknet.Network, exp: ExperimentConfig,
     omitted = all-real."""
     if printable_colors is None:
         printable_colors = load_printable_colors()
-    loss_fn = make_loss_fn(net, exp, printable_colors)
+    loss_fn = make_loss_fn(
+        net, exp, printable_colors,
+        mesh=mesh if mesh is not None and mesh.devices.size > 1 else None)
     tx = scale_by_torch_amsgrad()
 
     def step(state: TrainState, params, images, labels, lr, weights=None):

@@ -161,3 +161,41 @@ def test_fused_applicable_rejects_other_channel_widths():
     heads = M.apply(tiny, params, jnp.zeros((1, 64, 64, 3)),
                     fused_stem=True)
     assert len(heads) >= 1
+
+
+def test_fused_stem_shard_map(rng, monkeypatch):
+    """The multi-device path: fused_stem under shard_map over a 4-way
+    batch-sharded mesh (the wiring darknet.apply(mesh=...) uses) —
+    forward and jax.grad match the XLA oracle."""
+    import numpy as _np
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    monkeypatch.setattr(SF, "fused_stem_fwd",
+                        functools.partial(SF.fused_stem_fwd,
+                                          interpret=True))
+    monkeypatch.setattr(SF, "fused_stem_bwd_saved",
+                        functools.partial(SF.fused_stem_bwd_saved,
+                                          interpret=True))
+    h, bsz = 32, 4
+    sp = make_sp(rng)
+    x = jnp.asarray(rng.random((bsz, h, h, 3)), jnp.float32)
+    g5 = jnp.asarray(rng.standard_normal((bsz, h // 4, h // 4, 128)),
+                     jnp.float32)
+    mesh = Mesh(_np.asarray(jax.devices()[:4]), ("data",))
+    fn = shard_map(SF.fused_stem, mesh=mesh,
+                   in_specs=(P("data"), P()), out_specs=P("data"),
+                   check_rep=False)
+
+    want_y = np.asarray(xla_stem(x, sp))
+    got_y = np.asarray(fn(x, sp))
+    np.testing.assert_allclose(got_y, want_y, rtol=2e-5, atol=2e-5)
+
+    want_g = np.asarray(jax.grad(
+        lambda v: jnp.sum(xla_stem(v, sp) * g5))(x))
+    got_g = np.asarray(jax.grad(lambda v: jnp.sum(fn(v, sp) * g5))(x))
+    ok = sign_safe_mask(x, sp)
+    assert ok.mean() > 0.2
+    scale = np.abs(want_g).max()
+    np.testing.assert_allclose(got_g[ok], want_g[ok], rtol=2e-5,
+                               atol=2e-5 * scale)
