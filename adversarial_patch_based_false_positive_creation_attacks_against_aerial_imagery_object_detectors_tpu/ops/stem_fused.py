@@ -203,11 +203,12 @@ def _w1dx_pair(w1):
     ]
 
 
-def _w3t_pair(w3t):
-    """conv3t pair matrix [64, 768]: rows (r, cin32), cols (gp3-row
-    block r+dy, piece3=dx, cout64)."""
+def _w3t_pair(w3t, rows=2):
+    """conv3t matrix [rows*32, (rows+2)*192]: rows (r, cin32), cols
+    (gp3-row block r+dy, piece3=dx, cout64). ``rows=4`` is the
+    quad-row variant that fills the MXU's 128 M-rows."""
     entries = []
-    for r in range(2):
+    for r in range(rows):
         for dy in range(3):
             for dx in range(3):
                 entries.append((r * 32, (r + dy) * 192 + dx * 64,
@@ -215,12 +216,14 @@ def _w3t_pair(w3t):
     return entries
 
 
-def _w0t_pair(w0tp):
-    """conv0t pair matrix [32, 512]: rows (r, phase, cin->8), cols
-    (gp0-row block r+dy, piece4, cout32); same phase-piece pattern as
-    conv0 forward (the s1 adjoint with a flipped kernel preserves it)."""
+def _w0t_pair(w0tp, rows=2):
+    """conv0t matrix [rows*16, (rows+2)*128]: rows (r, phase, cin->8),
+    cols (gp0-row block r+dy, piece4, cout32); same phase-piece pattern
+    as conv0 forward (the s1 adjoint with a flipped kernel preserves
+    it). ``rows=8`` is the oct-row variant that fills the MXU's 128
+    M-rows (8 rows x 2 phases x 8 channels)."""
     entries = []
-    for r in range(2):
+    for r in range(rows):
         for ph, pieces in ((0, _PIECES_E), (1, _PIECES_O)):
             for dy in range(3):
                 for piece, dx in pieces:
@@ -271,6 +274,63 @@ def _halo_copy(src, dst, sem, b, *, ht, hb, rps, h_src, n_stripes):
     @pl.when(last)
     def _():
         dst[rtot - hb:rtot] = jnp.zeros_like(dst[rtot - hb:rtot])
+
+
+def _halo_copy_multi(specs, sem, b, *, n_stripes):
+    """Start ALL halo DMAs before waiting on any. ``specs``: list of
+    (src, dst, ht, hb, rps, h_src). The per-tensor start+wait of
+    ``_halo_copy`` serializes the transfers — with 7 activation
+    buffers that serialization is ~2.7 ms of the saved backward's
+    floor at b8 608^2 (measured by stage-skipping)."""
+    rb = pl.program_id(1)
+    first = rb == 0
+    last = rb == n_stripes - 1
+
+    def run(kind):
+        copies = []
+        for (src, dst, ht, hb, rps, h_src) in specs:
+            rtot = rps + ht + hb
+            if kind == "one":
+                src0, d0, n = 0, ht, h_src
+            elif kind == "first":
+                src0, d0, n = 0, ht, rtot - ht
+            elif kind == "last":
+                src0, d0, n = rb * rps - ht, 0, rtot - hb
+            else:
+                src0, d0, n = rb * rps - ht, 0, rtot
+            copies.append(pltpu.make_async_copy(
+                src.at[b, pl.ds(src0, n)], dst.at[pl.ds(d0, n)], sem))
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+    if n_stripes == 1:
+        run("one")
+    else:
+        @pl.when(jnp.logical_and(first, jnp.logical_not(last)))
+        def _():
+            run("first")
+
+        @pl.when(jnp.logical_and(last, jnp.logical_not(first)))
+        def _():
+            run("last")
+
+        @pl.when(jnp.logical_and(jnp.logical_not(first),
+                                 jnp.logical_not(last)))
+        def _():
+            run("mid")
+
+    for (src, dst, ht, hb, rps, h_src) in specs:
+        rtot = rps + ht + hb
+
+        @pl.when(first)
+        def _(dst=dst, ht=ht):
+            dst[0:ht] = jnp.zeros_like(dst[0:ht])
+
+        @pl.when(last)
+        def _(dst=dst, rtot=rtot, hb=hb):
+            dst[rtot - hb:rtot] = jnp.zeros_like(dst[rtot - hb:rtot])
 
 
 def _store_row(ref, i, y, wq, scale=None):
@@ -471,17 +531,22 @@ def _fwd_kernel(xe_hbm, xo_hbm, w0p, w1p, w2d, w3p, w5m,
 
     if save:
         # export the stripe's own (non-halo) activation rows for the
-        # saved-activation backward; one multi-row copy per tensor
-        y0e_o[0] = y0e[5:5 + 4 * s5]            # y0 base 4a-5
-        y0o_o[0] = y0o[5:5 + 4 * s5]
-        y1_o[0] = y1b[2:2 + 2 * s5]             # y1/y2 base 2a-2
-        y2_o[0] = y2b[2:2 + 2 * s5]
-        y3_o[0] = y3b[1:1 + 2 * s5]             # y3 base 2a-1
+        # saved-activation backward. The backward only consumes leaky'
+        # GATES (activation signs), so store int8 sign masks — half
+        # the HBM traffic and backward VMEM of bf16 values.
+        def sgn(v):
+            # compare in f32: Mosaic has no packed-bf16 predicate
+            return (v.astype(jnp.float32) > 0).astype(jnp.int8)
+        y0e_o[0] = sgn(y0e[5:5 + 4 * s5])       # y0 base 4a-5
+        y0o_o[0] = sgn(y0o[5:5 + 4 * s5])
+        y1_o[0] = sgn(y1b[2:2 + 2 * s5])        # y1/y2 base 2a-2
+        y2_o[0] = sgn(y2b[2:2 + 2 * s5])
+        y3_o[0] = sgn(y3b[1:1 + 2 * s5])        # y3 base 2a-1
 
-    # conv5 (s2): per-row per-dy dots (M=128 already fills the MXU) +
+    # conv5 (s2): per-row per-dy dots (M=128 already fills the MXU;
+    # a [256,960] row-pair variant measured ~0.35 ms SLOWER fwd) +
     # one-hot lane decimation. s4 local rows for y5 stripe-row r: 2r+dy.
     bias5 = b5[:].astype(jnp.float32)
-    wl5 = y5_out.shape[-1]
 
     for r in range(s5):
         acc = jnp.zeros((128, wq), jnp.float32)
@@ -553,7 +618,8 @@ def fused_stem_fwd(xe, xo, sp, s5: Optional[int] = None,
                             memory_space=pltpu.VMEM)
     if save_acts:
         def act_out(rows_per_stripe, c, total_rows):
-            return (jax.ShapeDtypeStruct((bsz, total_rows, c, wlh), dt),
+            return (jax.ShapeDtypeStruct((bsz, total_rows, c, wlh),
+                                         jnp.int8),
                     pl.BlockSpec((1, rows_per_stripe, c, wlh),
                                  lambda b_, r_: (b_, r_, 0, 0),
                                  memory_space=pltpu.VMEM))
@@ -591,7 +657,7 @@ def fused_stem_fwd(xe, xo, sp, s5: Optional[int] = None,
 
 def _bwd_kernel(xe_hbm, xo_hbm, y5_hbm, g5_hbm,
                 w0p, w1p, w2d, w3p, b0, b1, b2, b3,
-                w5dx, w1dx, w3tp, w2td, w0tp, se_t, so_t,
+                w5dx, w1dx, w3tq, w3tp, w2td, w0to, w0tp, se_t, so_t,
                 gxe_out, gxo_out,
                 xe, xo, y0e, y0o, y1b, y2b, y3b, y5b, g5b,
                 gs4, gp3, gp2, gp1, gp0e, gp0o, sh, sem, *,
@@ -623,14 +689,14 @@ def _bwd_kernel(xe_hbm, xo_hbm, y5_hbm, g5_hbm,
                   base3=2 * a - 2, off3=0, h1=h1, wq=wq, prec=prec,
                   sl=sl)
 
-    _grad_chain(w5dx, w1dx, w3tp, w2td, w0tp, se_t, so_t,
+    _grad_chain(w5dx, w1dx, w3tq, w3tp, w2td, w0to, w0tp, se_t, so_t,
                 gxe_out, gxo_out,
                 y0e, y0o, y1b, y2b, y3b, y5b, g5b,
                 gs4, gp3, gp2, gp1, gp0e, gp0o, sh,
                 a=a, s5=s5, h=h, wq=wq, prec=prec)
 
 
-def _grad_chain(w5dx, w1dx, w3tp, w2td, w0tp, se_t, so_t,
+def _grad_chain(w5dx, w1dx, w3tq, w3tp, w2td, w0to, w0tp, se_t, so_t,
                 gxe_out, gxo_out,
                 y0e, y0o, y1b, y2b, y3b, y5b, g5b,
                 gs4, gp3, gp2, gp1, gp0e, gp0o, sh, *,
@@ -645,11 +711,10 @@ def _grad_chain(w5dx, w1dx, w3tp, w2td, w0tp, se_t, so_t,
     sl1 = sl[1]
     g_sl = (slice(1, wh5 + 1), slice(2, wh5 + 2))
 
-    # --- gp5 = g5 * leaky'(y5), in place (zero-filled halo stays zero)
-    for i in range(s5 + 3):
-        g = g5b[pl.ds(i, 1)][0].astype(jnp.float32)
-        m = _mask_of(y5b[pl.ds(i, 1)][0])
-        g5b[pl.ds(i, 1)] = (g * m)[None].astype(g5b.dtype)
+    # --- gp5 = g5 * leaky'(y5), in place, one whole-buffer elementwise
+    # (zero-filled halo stays zero)
+    g5b[:] = (g5b[:].astype(jnp.float32)
+              * _mask_of(y5b[:])).astype(g5b.dtype)
 
     # --- conv5-dx: one [256,512] dot + two interleave dots per pair
     base_gs4 = 2 * a - 2
@@ -673,41 +738,58 @@ def _grad_chain(w5dx, w1dx, w3tp, w2td, w0tp, se_t, so_t,
 
     _pairs(2 * s5 + 4, pair_gs4)
 
-    # --- gp3 = g_s4 * leaky'(y3) (gs4 itself is reused as the residual)
-    for i in range(2 * s5 + 4):
-        g = gs4[pl.ds(i, 1)][0].astype(jnp.float32)
-        m = _mask_of(y3b[pl.ds(i, 1)][0])
-        gp3[pl.ds(i, 1)] = (g * m)[None].astype(gp3.dtype)
+    # --- gp3 = g_s4 * leaky'(y3), one whole-buffer elementwise (gs4
+    # itself is reused as the residual)
+    gp3[:] = (gs4[:].astype(jnp.float32)
+              * _mask_of(y3b[:])).astype(gp3.dtype)
 
-    # --- conv3t + y2 gate -> gp2 rows [2a-1, 2b+1)
+    # --- conv3t + y2 gate -> gp2 rows [2a-1, 2b+1). Quad rows fill
+    # M=128 (a [64,768] pair dot costs the same MXU passes at M=32
+    # utilization); the 2-row remainder uses the pair matrix.
     base_gp = 2 * a - 1
+    n_gp2 = 2 * s5 + 2
 
-    def pair_gp2(p):
-        i = 2 * p
-        for bb in range(4):
+    def rows_gp2(i, nr, wmat, k):
+        for bb in range(nr + 2):
             _shift_block(sh, bb * 192, gp3, i + bb, wq, sl)
-        out = _dot(w3tp, sh, 768, wq, prec)             # [64, wq]
-        for r in (i, i + 1):
+        out = _dot(wmat, sh, k, wq, prec)               # [nr*32, wq]
+        for r in range(i, i + nr):
             m2 = _mask_of(y2b[pl.ds(r + 2, 1)][0][:, sl1])
             _store_row(gp2, r, out[(r - i) * 32:(r - i) * 32 + 32] * m2,
                        wq, scale=_in_range(base_gp, r, h1))
 
-    _pairs(2 * s5 + 2, pair_gp2)
+    i = 0
+    while i + 4 <= n_gp2:
+        rows_gp2(i, 4, w3tq, 1152)
+        i += 4
+    while i + 2 <= n_gp2:
+        rows_gp2(i, 2, w3tp, 768)
+        i += 2
 
-    # --- conv2t (block-diag pair) + residual + y1 gate -> gp1
-    def pair_gp1(p):
-        i = 2 * p
-        sh[0:32, :wq] = gp2[pl.ds(i, 1)][0][:, sl1]
-        sh[32:64, :wq] = gp2[pl.ds(i + 1, 1)][0][:, sl1]
-        out = _dot(w2td, sh, 64, wq, prec)              # [128, wq]
-        for r in (i, i + 1):
+    # --- conv2t (block-diag) + residual + y1 gate -> gp1; quad rows
+    # per dot, 2-row remainder on the lower-left pair sub-block.
+    def rows_gp1(i, nr):
+        for j in range(nr):
+            sh[j * 32:(j + 1) * 32, :wq] = \
+                gp2[pl.ds(i + j, 1)][0][:, sl1]
+        out = jnp.dot(w2td[0:nr * 64, 0:nr * 32], sh[0:nr * 32, :wq],
+                      precision=prec,
+                      preferred_element_type=jnp.float32)
+        for r in range(i, i + nr):
             g = (out[(r - i) * 64:(r - i) * 64 + 64]
                  + gs4[pl.ds(r + 1, 1)][0][:, sl1].astype(jnp.float32))
             m1 = _mask_of(y1b[pl.ds(r + 2, 1)][0][:, sl1])
             _store_row(gp1, r, g * m1, wq,
                        scale=_in_range(base_gp, r, h1))
 
-    _pairs(2 * s5 + 2, pair_gp1)
+    i = 0
+    n_gp1r = 2 * s5 + 2
+    while i + 4 <= n_gp1r:
+        rows_gp1(i, 4)
+        i += 4
+    while i + 2 <= n_gp1r:
+        rows_gp1(i, 2)
+        i += 2
 
     # --- conv1-dx: one [128,256] dot per pair -> phase-split gp0,
     # y0 gates fused. Rows [4a-2, 4b+2); the last (odd) row is dead.
@@ -732,18 +814,28 @@ def _grad_chain(w5dx, w1dx, w3tp, w2td, w0tp, se_t, so_t,
 
     _pairs(4 * s5 + 4, pair_gp0)
 
-    # --- conv0t: one [32,512] dot per gx row pair, phase-split in/out
-    def pair_gx(p):
-        q = 2 * p
-        for bb in range(4):
-            _phase_block(sh, bb * 128, gp0e, gp0o, q + 1 + bb, wq, sl)
-        out = _dot(w0tp, sh, 512, wq, prec)             # [32, wq]
-        _store_out_row(gxe_out, q, out[0:8], wq)
-        _store_out_row(gxo_out, q, out[8:16], wq)
-        _store_out_row(gxe_out, q + 1, out[16:24], wq)
-        _store_out_row(gxo_out, q + 1, out[24:32], wq)
+    # --- conv0t, phase-split in/out. Oct rows (8 gx rows x 2 phases x
+    # 8 ch) fill M=128 — the [32,512] pair dot burned the same MXU
+    # passes at 25% M utilization; a <8-row remainder (odd s5) uses
+    # the pair matrix.
+    n_gx = 4 * s5
 
-    _pairs(4 * s5, pair_gx)
+    def rows_gx(q, nr, wmat, k):
+        for bb in range(nr + 2):
+            _phase_block(sh, bb * 128, gp0e, gp0o, q + 1 + bb, wq, sl)
+        out = _dot(wmat, sh, k, wq, prec)               # [nr*16, wq]
+        for j in range(nr):
+            _store_out_row(gxe_out, q + j, out[j * 16:j * 16 + 8], wq)
+            _store_out_row(gxo_out, q + j,
+                           out[j * 16 + 8:j * 16 + 16], wq)
+
+    q = 0
+    while q + 8 <= n_gx:
+        rows_gx(q, 8, w0to, 1280)
+        q += 8
+    while q + 2 <= n_gx:
+        rows_gx(q, 2, w0tp, 512)
+        q += 2
 
 
 @functools.partial(jax.jit, static_argnames=("s5", "interpret"))
@@ -764,7 +856,7 @@ def fused_stem_bwd(xe, xo, y5p, g5p, sp, s5: Optional[int] = None,
     wl5 = y5p.shape[-1]
 
     w0p, w1p, w2d, w3p, _, biases = _fwd_weights(sp, dt)
-    w5dx, w1dx, w3tp, w2td, w0tp = _bwd_weights(sp, dt)
+    w5dx, w1dx, w3tq, w3tp, w2td, w0to, w0tp = _bwd_weights(sp, dt)
     se_t = _onehot_sel(wq, wq // 2, 2, 0, dt).T   # [wh5, wq]: u -> 2u
     so_t = _onehot_sel(wq, wq // 2, 2, 1, dt).T   # u -> 2u+1
 
@@ -777,7 +869,7 @@ def fused_stem_bwd(xe, xo, y5p, g5p, sp, s5: Optional[int] = None,
                             memory_space=pltpu.VMEM)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = ([pl.BlockSpec(memory_space=pl.ANY)] * 4
-                + [vm() for _ in range(15)])
+                + [vm() for _ in range(17)])
     scratch = [
         pltpu.VMEM((4 * s5 + 16, 8, wlh), dt),      # xe
         pltpu.VMEM((4 * s5 + 16, 8, wlh), dt),      # xo
@@ -794,7 +886,7 @@ def fused_stem_bwd(xe, xo, y5p, g5p, sp, s5: Optional[int] = None,
         pltpu.VMEM((2 * s5 + 2, 64, wlh), dt),      # gp1
         pltpu.VMEM((4 * s5 + 4, 32, wlh), dt),      # gp0e
         pltpu.VMEM((4 * s5 + 4, 32, wlh), dt),      # gp0o
-        pltpu.VMEM((768, wlh), dt),                 # sh cache
+        pltpu.VMEM((1280, wlh), dt),                # sh cache
         pltpu.SemaphoreType.DMA(()),
     ]
     return pl.pallas_call(
@@ -805,12 +897,13 @@ def fused_stem_bwd(xe, xo, y5p, g5p, sp, s5: Optional[int] = None,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(xe, xo, y5p, g5p, w0p, w1p, w2d, w3p, *biases[:4],
-      w5dx, w1dx, w3tp, w2td, w0tp, se_t, so_t)
+      w5dx, w1dx, w3tq, w3tp, w2td, w0to, w0tp, se_t, so_t)
 
 
 def _bwd_kernel_sv(y0e_hbm, y0o_hbm, y1_hbm, y2_hbm, y3_hbm,
                    y5_hbm, g5_hbm,
-                   w5dx, w1dx, w3tp, w2td, w0tp, se_t, so_t,
+                   w5dx, w1dx, w3tq, w3tp, w2td, w0to, w0tp,
+                   se_t, so_t,
                    gxe_out, gxo_out,
                    y0e, y0o, y1b, y2b, y3b, y5b, g5b,
                    gs4, gp3, gp2, gp1, gp0e, gp0o, sh, sem, *,
@@ -824,22 +917,17 @@ def _bwd_kernel_sv(y0e_hbm, y0o_hbm, y1_hbm, y2_hbm, y3_hbm,
     a = rb * s5
     h1, h5 = h // 2, h // 4
 
-    _halo_copy(y0e_hbm, y0e, sem, b, ht=7, hb=7, rps=4 * s5, h_src=h,
-               n_stripes=n_stripes)
-    _halo_copy(y0o_hbm, y0o, sem, b, ht=7, hb=7, rps=4 * s5, h_src=h,
-               n_stripes=n_stripes)
-    _halo_copy(y1_hbm, y1b, sem, b, ht=3, hb=3, rps=2 * s5, h_src=h1,
-               n_stripes=n_stripes)
-    _halo_copy(y2_hbm, y2b, sem, b, ht=3, hb=3, rps=2 * s5, h_src=h1,
-               n_stripes=n_stripes)
-    _halo_copy(y3_hbm, y3b, sem, b, ht=2, hb=2, rps=2 * s5, h_src=h1,
-               n_stripes=n_stripes)
-    _halo_copy(y5_hbm, y5b, sem, b, ht=1, hb=2, rps=s5, h_src=h5,
-               n_stripes=n_stripes)
-    _halo_copy(g5_hbm, g5b, sem, b, ht=1, hb=2, rps=s5, h_src=h5,
-               n_stripes=n_stripes)
+    _halo_copy_multi([
+        (y0e_hbm, y0e, 7, 7, 4 * s5, h),
+        (y0o_hbm, y0o, 7, 7, 4 * s5, h),
+        (y1_hbm, y1b, 3, 3, 2 * s5, h1),
+        (y2_hbm, y2b, 3, 3, 2 * s5, h1),
+        (y3_hbm, y3b, 2, 2, 2 * s5, h1),
+        (y5_hbm, y5b, 1, 2, s5, h5),
+        (g5_hbm, g5b, 1, 2, s5, h5),
+    ], sem, b, n_stripes=n_stripes)
 
-    _grad_chain(w5dx, w1dx, w3tp, w2td, w0tp, se_t, so_t,
+    _grad_chain(w5dx, w1dx, w3tq, w3tp, w2td, w0to, w0tp, se_t, so_t,
                 gxe_out, gxo_out,
                 y0e, y0o, y1b, y2b, y3b, y5b, g5b,
                 gs4, gp3, gp2, gp1, gp0e, gp0o, sh,
@@ -850,11 +938,16 @@ def _bwd_weights(sp, dt):
     (w0, b0), (w1, b1), (w2, b2), (w3, b3), (w5, b5) = sp
     w5dx = _blkw((256, 512), _w5dx_pair(w5), dt)
     w1dx = _blkw((128, 256), _w1dx_pair(w1), dt)
-    w3tp = _blkw((64, 768), _w3t_pair(_flip_t(w3)), dt)
+    w3t = _flip_t(w3)
+    w3tq = _blkw((128, 1152), _w3t_pair(w3t, rows=4), dt)
+    w3tp = _blkw((64, 768), _w3t_pair(w3t), dt)
     w2tm = w2.reshape(w2.shape[2], w2.shape[3])
-    w2td = _blkw((128, 64), [(0, 0, w2tm), (64, 32, w2tm)], dt)
-    w0tp = _blkw((32, 512), _w0t_pair(_pad_cout(_flip_t(w0))), dt)
-    return w5dx, w1dx, w3tp, w2td, w0tp
+    w2td = _blkw((256, 128), [(0, 0, w2tm), (64, 32, w2tm),
+                              (128, 64, w2tm), (192, 96, w2tm)], dt)
+    w0t = _pad_cout(_flip_t(w0))
+    w0to = _blkw((128, 1280), _w0t_pair(w0t, rows=8), dt)
+    w0tp = _blkw((32, 512), _w0t_pair(w0t), dt)
+    return w5dx, w1dx, w3tq, w3tp, w2td, w0to, w0tp
 
 
 @functools.partial(jax.jit, static_argnames=("s5", "interpret"))
@@ -871,11 +964,12 @@ def fused_stem_bwd_saved(acts, g5p, sp, s5: Optional[int] = None,
         s5 = _pick_s5(h5)
     assert h5 % s5 == 0
     n_stripes = h5 // s5
-    dt = y0e_.dtype
+    dt = y5p.dtype
+    gdt = y0e_.dtype                            # int8 sign masks
     prec = lax.Precision.HIGHEST if dt == jnp.float32 else None
     wl5 = y5p.shape[-1]
 
-    w5dx, w1dx, w3tp, w2td, w0tp = _bwd_weights(sp, dt)
+    w5dx, w1dx, w3tq, w3tp, w2td, w0to, w0tp = _bwd_weights(sp, dt)
     se_t = _onehot_sel(wq, wq // 2, 2, 0, dt).T
     so_t = _onehot_sel(wq, wq // 2, 2, 1, dt).T
 
@@ -889,13 +983,13 @@ def fused_stem_bwd_saved(acts, g5p, sp, s5: Optional[int] = None,
                             memory_space=pltpu.VMEM)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = ([pl.BlockSpec(memory_space=pl.ANY)] * 7
-                + [vm() for _ in range(7)])
+                + [vm() for _ in range(9)])
     scratch = [
-        pltpu.VMEM((4 * s5 + 14, 32, wlh), dt),     # y0e
-        pltpu.VMEM((4 * s5 + 14, 32, wlh), dt),     # y0o
-        pltpu.VMEM((2 * s5 + 6, 64, wlh), dt),      # y1
-        pltpu.VMEM((2 * s5 + 6, 32, wlh), dt),      # y2
-        pltpu.VMEM((2 * s5 + 4, 64, wlh), dt),      # y3
+        pltpu.VMEM((4 * s5 + 14, 32, wlh), gdt),    # y0e sign
+        pltpu.VMEM((4 * s5 + 14, 32, wlh), gdt),    # y0o sign
+        pltpu.VMEM((2 * s5 + 6, 64, wlh), gdt),     # y1 sign
+        pltpu.VMEM((2 * s5 + 6, 32, wlh), gdt),     # y2 sign
+        pltpu.VMEM((2 * s5 + 4, 64, wlh), gdt),     # y3 sign
         pltpu.VMEM((s5 + 3, 128, wl5), dt),         # y5
         pltpu.VMEM((s5 + 3, 128, wl5), dt),         # g5 -> gp5
         pltpu.VMEM((2 * s5 + 4, 64, wlh), dt),      # g_s4
@@ -904,7 +998,7 @@ def fused_stem_bwd_saved(acts, g5p, sp, s5: Optional[int] = None,
         pltpu.VMEM((2 * s5 + 2, 64, wlh), dt),      # gp1
         pltpu.VMEM((4 * s5 + 4, 32, wlh), dt),      # gp0e
         pltpu.VMEM((4 * s5 + 4, 32, wlh), dt),      # gp0o
-        pltpu.VMEM((768, wlh), dt),                 # sh cache
+        pltpu.VMEM((1280, wlh), dt),                # sh cache
         pltpu.SemaphoreType.DMA(()),
     ]
     return pl.pallas_call(
@@ -915,7 +1009,7 @@ def fused_stem_bwd_saved(acts, g5p, sp, s5: Optional[int] = None,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(y0e_, y0o_, y1_, y2_, y3_, y5p, g5p,
-      w5dx, w1dx, w3tp, w2td, w0tp, se_t, so_t)
+      w5dx, w1dx, w3tq, w3tp, w2td, w0to, w0tp, se_t, so_t)
 
 
 # ---------------------------------------------------------------------------

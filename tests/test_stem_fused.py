@@ -119,8 +119,8 @@ def test_fused_stem_custom_vjp(rng, monkeypatch):
     monkeypatch.setattr(SF, "fused_stem_fwd",
                         functools.partial(SF.fused_stem_fwd,
                                           interpret=True))
-    monkeypatch.setattr(SF, "fused_stem_bwd",
-                        functools.partial(SF.fused_stem_bwd,
+    monkeypatch.setattr(SF, "fused_stem_bwd_saved",
+                        functools.partial(SF.fused_stem_bwd_saved,
                                           interpret=True))
     h = 32
     sp = make_sp(rng)
