@@ -330,13 +330,13 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
             sp = stem_planar._stem_params(params, compute_dtype)
             xc = x.astype(compute_dtype)
             if n_dev > 1:
-                from jax.experimental.shard_map import shard_map
+                from jax import shard_map
                 from jax.sharding import PartitionSpec as P
                 axis = mesh.axis_names[0]
                 fn = shard_map(
                     stem_fused.fused_stem, mesh=mesh,
                     in_specs=(P(axis), P()), out_specs=P(axis),
-                    check_rep=False)
+                    check_vma=False)
                 prev = fn(xc, sp)
             else:
                 prev = stem_fused.fused_stem(xc, sp)

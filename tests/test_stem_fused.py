@@ -168,7 +168,7 @@ def test_fused_stem_shard_map(rng, monkeypatch):
     batch-sharded mesh (the wiring darknet.apply(mesh=...) uses) —
     forward and jax.grad match the XLA oracle."""
     import numpy as _np
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     monkeypatch.setattr(SF, "fused_stem_fwd",
@@ -185,7 +185,7 @@ def test_fused_stem_shard_map(rng, monkeypatch):
     mesh = Mesh(_np.asarray(jax.devices()[:4]), ("data",))
     fn = shard_map(SF.fused_stem, mesh=mesh,
                    in_specs=(P("data"), P()), out_specs=P("data"),
-                   check_rep=False)
+                   check_vma=False)
 
     want_y = np.asarray(xla_stem(x, sp))
     got_y = np.asarray(fn(x, sp))
