@@ -312,13 +312,16 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
         if env is not None:
             fused_stem = env == "1"
         else:
-            # Per-device batch >= 2: at local batch 1 the kernel's
-            # (batch, stripe) grid is too shallow to pipeline and the
-            # XLA stem wins (measured b1 train step 8.4 vs 9.2 ms).
+            # Measured train-step crossovers (v5e, 608^2 bf16): at local
+            # batch 1 the kernel's (batch, stripe) grid is too shallow
+            # to pipeline (8.4 XLA vs 9.2 ms fused) and at b24 the
+            # saved-activation traffic tips it the other way (90.5 vs
+            # 92.0 ms); fused wins in between (b8 29.3 vs 32.0, b16
+            # 58.0 vs 59.3). Auto-default: 2 <= local batch <= 16.
             local_b = x.shape[0] // (1 if mesh is None
                                      else mesh.devices.size)
             fused_stem = (jax.default_backend() == "tpu"
-                          and local_b >= 2
+                          and 2 <= local_b <= 16
                           and (jax.device_count() == 1
                                or mesh is not None))
     if fused_stem:

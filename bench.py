@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu import train as T
+from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.utils.cache import enable_compile_cache
 from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.models import (
     build_network, fold_bn, init_params, yolov3_blocks)
 from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.parallel.mesh import (
@@ -29,6 +30,7 @@ REFERENCE_IMG_PER_S = 19.2  # V100S, batch 24, ~0.8 steps/s (BASELINE.md)
 
 
 def main():
+    enable_compile_cache()
     mesh = make_mesh()
     n_dev = mesh.devices.size
     exp = T.ExperimentConfig(

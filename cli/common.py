@@ -14,15 +14,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-# Persistent compilation cache — TPU backend only. On the CPU backend
-# serializing shard_map+Pallas executables for the cache can abort the
-# process (glibc abort inside the XLA cache write), and CPU compiles are
-# fast anyway; observed when CLI tests (which import this module, which
-# enables the cache process-wide) ran before the shard_map stem tests.
-if (os.environ.get("APFP_COMPILE_CACHE", "1") != "0"
-        and jax.default_backend() == "tpu"):
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/apfp_jax"))
+from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu import evals
 from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.models import (

@@ -50,3 +50,20 @@ def test_patch_png_roundtrip_and_resize(tmp_path):
     assert resized.shape == (32, 32, 3)
     save_patch_png(back, str(tmp_path / "q.png"))
     assert patch_png_mse(path, str(tmp_path / "q.png")) == 0.0
+
+
+def test_enable_compile_cache_off_on_cpu(monkeypatch):
+    """The persistent compilation cache must stay off on the CPU backend
+    (serializing shard_map+Pallas CPU executables can abort the process)
+    and respect APFP_COMPILE_CACHE=0."""
+    import jax
+
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.utils.cache import (
+        enable_compile_cache)
+
+    before = jax.config.jax_compilation_cache_dir
+    assert jax.default_backend() == "cpu"  # conftest forces CPU
+    assert enable_compile_cache() is False
+    assert jax.config.jax_compilation_cache_dir == before
+    monkeypatch.setenv("APFP_COMPILE_CACHE", "0")
+    assert enable_compile_cache() is False

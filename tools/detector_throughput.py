@@ -19,6 +19,9 @@ import numpy as np
 from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu import evals
 from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.models import (
     build_network, fold_bn, init_params, yolov3_blocks)
+from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 net = build_network(yolov3_blocks())
