@@ -1,0 +1,164 @@
+"""Micro-batching detection service (the serving path).
+
+The reference has no serving layer at all — its closest analog is the
+one-image-at-a-time ``do_detect`` loop (reference utils.py:450-519,
+clean_img_pre.py:52-120) that re-enters Python per image. TPU-first
+serving wants the opposite shape: a single compiled program at a FIXED
+batch size (static shapes — no recompiles, XLA pins one executable),
+fed by a micro-batcher that coalesces concurrent requests and pads the
+tail. Detection runs fully on device (forward + decode + threshold +
+greedy NMS, ``Detector.detect_batch_device``); only the fixed-size
+``[B, 300, 7]`` result crosses back to host.
+
+Request flow: callers (any thread) ``submit()`` an image and block on a
+Future; the worker thread drains the queue — first item blocks, then up
+to ``max_batch - 1`` more are gathered within ``window_ms`` — pads the
+batch to ``max_batch`` with zeros, runs the one jitted program, and
+resolves each Future with that image's valid detection rows.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+
+@dataclass
+class ServiceStats:
+    requests: int = 0
+    batches: int = 0
+    batch_sizes: List[int] = field(default_factory=list)
+
+
+class DetectionService:
+    """Thread-safe micro-batching wrapper around a ``Detector``.
+
+    ``max_batch`` is the compiled batch size (every device call runs at
+    exactly this size); ``window_ms`` bounds how long the worker waits
+    to fill a batch once the first request of a batch has arrived.
+    """
+
+    def __init__(self, detector, max_batch: int = 8,
+                 window_ms: float = 5.0, conf_thresh: float = 0.4,
+                 nms_thresh: float = 0.4):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self.detector = detector
+        self.max_batch = int(max_batch)
+        self.window_s = float(window_ms) / 1e3
+        self.conf_thresh = float(conf_thresh)
+        self.nms_thresh = float(nms_thresh)
+        self.stats = ServiceStats()
+        self._queue: "queue.Queue" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    # -- lifecycle ---------------------------------------------------
+    def start(self, warmup: bool = True) -> "DetectionService":
+        """Start the worker thread; ``warmup`` compiles the fixed-size
+        program up front so the first request doesn't pay the compile."""
+        if self._worker is not None:
+            raise RuntimeError("service already started")
+        if warmup:
+            s = self.detector.img_size
+            z = np.zeros((self.max_batch, s, s, 3), np.float32)
+            d, v = self.detector.detect_batch_device(
+                z, self.conf_thresh, self.nms_thresh)
+            np.asarray(v)  # block until the executable exists
+        self._stop.clear()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="detect-batcher")
+        self._worker.start()
+        return self
+
+    def stop(self) -> None:
+        if self._worker is None:
+            return
+        self._stop.set()
+        self._queue.put(None)  # wake the worker
+        self._worker.join()
+        self._worker = None
+        # fail any requests that raced in after the drain
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].set_exception(RuntimeError("service stopped"))
+
+    def __enter__(self) -> "DetectionService":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- request side ------------------------------------------------
+    def submit(self, image: np.ndarray, timeout: Optional[float] = None
+               ) -> np.ndarray:
+        """Detect on one [S, S, 3] float image in [0, 1]. Blocks until
+        the batch containing this request completes; returns the [N, 7]
+        rows (x, y, w, h, obj, cls_conf, cls_id), normalized."""
+        if self._worker is None:
+            raise RuntimeError("service not started")
+        s = self.detector.img_size
+        image = np.asarray(image, np.float32)
+        if image.shape != (s, s, 3):
+            raise ValueError(
+                f"expected [{s}, {s}, 3] image, got {image.shape}")
+        fut: Future = Future()
+        self._queue.put((image, fut))
+        return fut.result(timeout=timeout)
+
+    # -- worker side -------------------------------------------------
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            item = self._queue.get()
+            if item is None:
+                continue
+            batch = [item]
+            deadline = _now() + self.window_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - _now()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                batch.append(nxt)
+            self._process(batch)
+
+    def _process(self, batch) -> None:
+        images = np.stack([img for img, _ in batch])
+        n = images.shape[0]
+        if n < self.max_batch:
+            pad = np.zeros((self.max_batch - n,) + images.shape[1:],
+                           images.dtype)
+            images = np.concatenate([images, pad])
+        try:
+            dets, valid = self.detector.detect_batch_device(
+                images, self.conf_thresh, self.nms_thresh)
+            dets = np.asarray(dets)
+            valid = np.asarray(valid)
+        except Exception as e:  # resolve every waiter, never deadlock
+            for _, fut in batch:
+                fut.set_exception(e)
+            return
+        self.stats.requests += n
+        self.stats.batches += 1
+        self.stats.batch_sizes.append(n)
+        for i, (_, fut) in enumerate(batch):
+            fut.set_result(dets[i][valid[i].astype(bool)])
+
+
+def _now() -> float:
+    import time
+    return time.monotonic()
