@@ -84,6 +84,10 @@ class Detector:
 
         @jax.jit
         def _detect_device(params, images, conf_thresh, nms_thresh):
+            if images.dtype == jnp.uint8:
+                # serving path: ship 8-bit over the (PCIe/relay) link,
+                # normalize on device — 4x less host->device traffic
+                images = images.astype(jnp.float32) / 255.0
             heads = darknet.apply(net, params, images, compute_dtype,
                                   planar_stem=on_tpu, fused_stem=on_tpu)
             boxes, obj, cls = decode_all_heads(

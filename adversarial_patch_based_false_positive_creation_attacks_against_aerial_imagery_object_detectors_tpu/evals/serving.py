@@ -45,7 +45,7 @@ class DetectionService:
 
     def __init__(self, detector, max_batch: int = 8,
                  window_ms: float = 5.0, conf_thresh: float = 0.4,
-                 nms_thresh: float = 0.4):
+                 nms_thresh: float = 0.4, wire_dtype=np.float32):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         self.detector = detector
@@ -53,6 +53,14 @@ class DetectionService:
         self.window_s = float(window_ms) / 1e3
         self.conf_thresh = float(conf_thresh)
         self.nms_thresh = float(nms_thresh)
+        # uint8 wire dtype ships 4x less over the host->device link
+        # (normalization happens inside the device program); float32
+        # preserves arbitrary caller-side preprocessing exactly
+        self.wire_dtype = np.dtype(wire_dtype)
+        if self.wire_dtype not in (np.dtype(np.float32),
+                                   np.dtype(np.uint8)):
+            raise ValueError(f"wire_dtype must be float32 or uint8, "
+                             f"got {self.wire_dtype}")
         self.stats = ServiceStats()
         self._queue: "queue.Queue" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
@@ -66,7 +74,7 @@ class DetectionService:
             raise RuntimeError("service already started")
         if warmup:
             s = self.detector.img_size
-            z = np.zeros((self.max_batch, s, s, 3), np.float32)
+            z = np.zeros((self.max_batch, s, s, 3), self.wire_dtype)
             d, v = self.detector.detect_batch_device(
                 z, self.conf_thresh, self.nms_thresh)
             np.asarray(v)  # block until the executable exists
@@ -101,16 +109,31 @@ class DetectionService:
     # -- request side ------------------------------------------------
     def submit(self, image: np.ndarray, timeout: Optional[float] = None
                ) -> np.ndarray:
-        """Detect on one [S, S, 3] float image in [0, 1]. Blocks until
-        the batch containing this request completes; returns the [N, 7]
-        rows (x, y, w, h, obj, cls_conf, cls_id), normalized."""
+        """Detect on one [S, S, 3] image — float in [0, 1] or uint8 in
+        [0, 255]. Blocks until the batch containing this request
+        completes; returns the [N, 7] rows
+        (x, y, w, h, obj, cls_conf, cls_id), normalized.
+
+        The image is shipped in ``wire_dtype``: with a uint8 wire a
+        float input is quantized to 1/255 steps (and a uint8 input
+        passes through exactly); with a float32 wire a uint8 input is
+        divided by 255 on the host."""
         if self._worker is None:
             raise RuntimeError("service not started")
         s = self.detector.img_size
-        image = np.asarray(image, np.float32)
+        image = np.asarray(image)
         if image.shape != (s, s, 3):
             raise ValueError(
                 f"expected [{s}, {s}, 3] image, got {image.shape}")
+        if self.wire_dtype == np.uint8:
+            if image.dtype != np.uint8:
+                image = np.clip(np.asarray(image, np.float32) * 255.0
+                                + 0.5, 0, 255).astype(np.uint8)
+        else:
+            if image.dtype == np.uint8:
+                image = image.astype(np.float32) / 255.0
+            else:
+                image = np.asarray(image, np.float32)
         fut: Future = Future()
         self._queue.put((image, fut))
         return fut.result(timeout=timeout)

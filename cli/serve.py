@@ -105,6 +105,12 @@ def main(argv=None):
     ap.add_argument("--conf", type=float, default=0.4)
     ap.add_argument("--nms", type=float, default=0.4)
     ap.add_argument("--names-file", default=None)
+    ap.add_argument("--wire-dtype", choices=["float32", "uint8"],
+                    default="uint8",
+                    help="host->device image dtype; uint8 ships 4x "
+                         "less and normalizes on device (exact for "
+                         "8-bit sources like PNG/JPEG), float32 "
+                         "preserves arbitrary float preprocessing")
     args = ap.parse_args(argv)
 
     detector = build_detector(args)
@@ -113,7 +119,7 @@ def main(argv=None):
     service = DetectionService(
         detector, max_batch=args.max_batch,
         window_ms=args.batch_window_ms, conf_thresh=args.conf,
-        nms_thresh=args.nms)
+        nms_thresh=args.nms, wire_dtype=np.dtype(args.wire_dtype))
     print(f"compiling fixed batch-{args.max_batch} program...", flush=True)
     service.start()
     server = ThreadingHTTPServer(

@@ -70,6 +70,32 @@ def test_concurrent_requests_batch_and_route(tiny_detector):
         np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+def test_uint8_wire_matches_quantized_float(tiny_detector):
+    """uint8 wire dtype: a uint8 submit returns exactly what the device
+    program produces for that uint8 batch, and a float submit matches
+    its 1/255-quantized uint8 image (the documented wire quantization)."""
+    rng = np.random.default_rng(3)
+    img_u8 = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    img_f = img_u8.astype(np.float32) / 255.0
+    with DetectionService(tiny_detector, max_batch=4, window_ms=1.0,
+                          conf_thresh=0.05, nms_thresh=0.4,
+                          wire_dtype=np.uint8) as svc:
+        got_u8 = svc.submit(img_u8)
+        got_f = svc.submit(img_f)
+    dets, valid = tiny_detector.detect_batch_device(
+        np.stack([img_u8] + [np.zeros((64, 64, 3), np.uint8)] * 3),
+        0.05, 0.4)
+    want = np.asarray(dets)[0][np.asarray(valid)[0].astype(bool)]
+    np.testing.assert_allclose(got_u8, want, rtol=1e-6)
+    # float input quantizes onto the same uint8 wire -> identical rows
+    np.testing.assert_allclose(got_f, want, rtol=1e-6)
+
+
+def test_wire_dtype_validation(tiny_detector):
+    with pytest.raises(ValueError):
+        DetectionService(tiny_detector, wire_dtype=np.float16)
+
+
 def test_submit_validates_shape_and_lifecycle(tiny_detector):
     svc = DetectionService(tiny_detector, max_batch=2)
     with pytest.raises(RuntimeError):
