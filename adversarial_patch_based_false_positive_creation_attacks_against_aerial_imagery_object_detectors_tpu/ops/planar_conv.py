@@ -383,7 +383,7 @@ def planar_conv(xp: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     wmat = wmat.astype(xp.dtype)
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),   # x: manual halo DMA
+        pl.BlockSpec(memory_space=pl.ANY),   # x: manual halo DMA
         pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
         pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
     ]
