@@ -1,5 +1,5 @@
 from .median_pool import (median_pool_2d, median_pool_nhwc,
-    median_pool_2d_fast, median_pool_nhwc_fast)
+    median_pool_2d_fast, median_pool_nhwc_fast, median_select)
 from .affine import (
     affine_sample, affine_sample_fast, affine_sample_bwd_window,
     affine_source_coords, bilinear_gather,

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def _same_pad_amounts(size: int, k: int, stride: int):
@@ -30,8 +31,17 @@ def _same_pad_amounts(size: int, k: int, stride: int):
     return lo, p - lo
 
 
-def median_pool_2d(x: jnp.ndarray, k: int = 7, stride: int = 1) -> jnp.ndarray:
-    """Median-pool the trailing two spatial dims of ``x`` ([..., H, W])."""
+def median_pool_2d(x: jnp.ndarray, k: int = 7, stride: int = 1,
+                   stable: bool = True) -> jnp.ndarray:
+    """Median-pool the trailing two spatial dims of ``x`` ([..., H, W]).
+
+    ``stable=False`` sorts windows unstably: the median *value* is
+    identical (stability only reorders equal keys), but the TPU backend
+    then skips the s32 iota tiebreak payload it adds to stabilize sorts
+    — about 2x less sort traffic. Only use it where the sort's tie
+    *permutation* is never consumed (e.g. the custom-VJP fast path,
+    which recomputes tie routing itself); the autodiff of the stable
+    path routes tie gradients through the sort's permutation."""
     *lead, h, w = x.shape
     pt, pb = _same_pad_amounts(h, k, stride)
     pl, pr = _same_pad_amounts(w, k, stride)
@@ -50,7 +60,10 @@ def median_pool_2d(x: jnp.ndarray, k: int = 7, stride: int = 1) -> jnp.ndarray:
     # sorted window. jnp.median averages the two middles for even n, so
     # sort explicitly and pick the lower median to match.
     n = k * k
-    sorted_stack = jnp.sort(stack, axis=0)
+    if stable:
+        sorted_stack = jnp.sort(stack, axis=0)
+    else:
+        sorted_stack = lax.sort(stack, dimension=0, is_stable=False)
     return sorted_stack[(n - 1) // 2]
 
 
@@ -59,6 +72,49 @@ def median_pool_nhwc(x: jnp.ndarray, k: int = 7, stride: int = 1) -> jnp.ndarray
     x_hw_last = jnp.moveaxis(x, -1, -3)  # [..., C, H, W]
     out = median_pool_2d(x_hw_last, k, stride)
     return jnp.moveaxis(out, -3, -1)
+
+
+def _batcher_pairs(n: int):
+    """Comparator pairs of Batcher's odd-even merge sort for ``n`` a
+    power of two (classic iterative formulation)."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(min(k, n - j - k)):
+                    if (i + j) // (p * 2) == (i + j + k) // (p * 2):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return pairs
+
+
+def median_select(windows: list) -> jnp.ndarray:
+    """Exact lower median of a list of same-shaped arrays via a Batcher
+    min/max selection network — no sort, no materialized [n, ...] stack.
+
+    On TPU a stable sort of the [k*k, C, H, W] window stack costs an s32
+    iota tiebreak payload plus stack materialization (~1.6 ms/step for
+    the 7x7/224^2 EOT median); the network is a pure elementwise min/max
+    DAG that XLA fuses and the VPU chews through in ~0.1 ms. The list is
+    padded with +inf to the next power of two (padding only shifts ranks
+    above the median), the full sorting network is emitted, and XLA's
+    DCE prunes comparators outside output ``(n-1)//2``'s cone."""
+    n = len(windows)
+    m = 1
+    while m < n:
+        m *= 2
+    vals = list(windows)
+    if m > n:
+        inf = jnp.full_like(windows[0], jnp.inf)
+        vals += [inf] * (m - n)
+    for i, j in _batcher_pairs(m):
+        a, b = vals[i], vals[j]
+        vals[i] = jnp.minimum(a, b)
+        vals[j] = jnp.maximum(a, b)
+    return vals[(n - 1) // 2]
 
 
 # ---------------------------------------------------------------------------
@@ -75,6 +131,16 @@ def median_pool_nhwc(x: jnp.ndarray, k: int = 7, stride: int = 1) -> jnp.ndarray
 def _windows(xp: jnp.ndarray, k: int, oh: int, ow: int):
     return [xp[..., di:di + oh, dj:dj + ow]
             for di in range(k) for dj in range(k)]
+
+
+def _median_net(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Stride-1 same-padded lower-median via the selection network."""
+    *lead, h, w = x.shape
+    pt, pb = _same_pad_amounts(h, k, 1)
+    pl, pr = _same_pad_amounts(w, k, 1)
+    pad_width = [(0, 0)] * len(lead) + [(pt, pb), (pl, pr)]
+    xp = jnp.pad(x, pad_width, mode="reflect")
+    return median_select(_windows(xp, k, h, w))
 
 
 def _reflect_fold(dpad: jnp.ndarray, h: int, w: int, pt: int, pb: int,
@@ -103,10 +169,13 @@ def median_pool_2d_fast(x: jnp.ndarray, k: int = 7) -> jnp.ndarray:
 
     @jax.custom_vjp
     def _mp(x):
-        return median_pool_2d(x, k, 1)
+        # selection network: identical median values to the sort path
+        # (ties only reorder equal keys); the VJP below recomputes tie
+        # routing itself, so the sort's permutation is never needed
+        return _median_net(x, k)
 
     def _fwd(x):
-        med = median_pool_2d(x, k, 1)
+        med = _median_net(x, k)
         return med, (x, med)
 
     def _bwd(res, g):

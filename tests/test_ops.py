@@ -258,6 +258,21 @@ def test_median_pool_fast_matches_plain_grad(rng):
                                    atol=1e-6, err_msg=f"k={k}")
 
 
+def test_median_select_network_matches_sort(rng):
+    """The Batcher min/max selection network (the fast path's sortless
+    forward) returns the exact lower median for any n, ties included."""
+    for n in (9, 25, 49):
+        for tie in (False, True):
+            xs = rng.random((n, 4, 6)).astype(np.float32)
+            if tie:
+                xs = np.round(xs * 4) / 4
+            got = np.asarray(ops.median_select(
+                [jnp.asarray(x) for x in xs]))
+            want = np.sort(xs, axis=0)[(n - 1) // 2]
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"n={n} tie={tie}")
+
+
 def test_merge_nms_host(rng):
     n, c = 40, 15
     boxes = np.stack([0.2 + 0.6 * rng.random(n), 0.2 + 0.6 * rng.random(n),
