@@ -70,6 +70,87 @@ def from_planar(xp: jnp.ndarray, w_img: Optional[int] = None,
     return jnp.transpose(xp[:, :, :c, 1:w_img + 1], (0, 1, 3, 2))
 
 
+def _shift_mat(w_img: int, wl: int, dtype):
+    """[w_img, wl] one-hot: row j -> column j+1 (to_planar's 1-lane
+    border shift). One matrix serves both conversion directions."""
+    r = lax.broadcasted_iota(jnp.int32, (w_img, wl), 0)
+    c = lax.broadcasted_iota(jnp.int32, (w_img, wl), 1)
+    return (c == r + 1).astype(dtype)
+
+
+def _row_chunk(h: int) -> int:
+    for hs in (8, 4, 2):
+        if h % hs == 0:
+            return hs
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def to_planar_mxu(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """``to_planar`` (no c_pad) as a Pallas kernel: per image row, ONE
+    MXU dot against a shifted identity emits the whole transposed,
+    border-shifted, lane-padded planar row.
+
+    Why: at the fused-stem boundary XLA lowers the transpose+pad as a
+    data-formatting copy chain (~0.6 ms/step at b8 152^2x128 each way);
+    the dot form rides the MXU at a few percent of that, and — being a
+    pallas_call — pins default layouts so XLA stops inserting extra
+    layout copies around the stem kernels. Exact for any dtype: every
+    output element is a single 1.0*x product, f32-accumulated.
+    Requires C a multiple of 8 (bf16 sublane tile); W arbitrary."""
+    b, h, w_img, c = x.shape
+    wl = _round_up(w_img + 2, 128)
+    hs = _row_chunk(h)
+    shift = _shift_mat(w_img, wl, x.dtype)
+    prec = (lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+
+    def kernel(x_ref, s_ref, o_ref):
+        s = s_ref[...]
+        for r in range(hs):
+            o_ref[0, r] = lax.dot_general(
+                x_ref[0, r], s, (((0,), (0,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel, grid=(b, h // hs),
+        in_specs=[pl.BlockSpec((1, hs, w_img, c), lambda b_, r_: (b_, r_, 0, 0)),
+                  pl.BlockSpec((w_img, wl), lambda b_, r_: (0, 0))],
+        out_specs=pl.BlockSpec((1, hs, c, wl), lambda b_, r_: (b_, r_, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, c, wl), x.dtype),
+        interpret=interpret,
+    )(x, shift)
+
+
+@functools.partial(jax.jit, static_argnames=("w_img", "c", "interpret"))
+def from_planar_mxu(xp: jnp.ndarray, w_img: int, c: int,
+                    interpret: bool = False) -> jnp.ndarray:
+    """``from_planar`` as a Pallas kernel (see ``to_planar_mxu``): the
+    same shifted identity, contracted on lanes, un-shifts and
+    re-transposes the planar row back to NHWC."""
+    b, h, cp, wl = xp.shape
+    hs = _row_chunk(h)
+    shift = _shift_mat(w_img, wl, xp.dtype)
+    prec = (lax.Precision.HIGHEST if xp.dtype == jnp.float32 else None)
+
+    def kernel(x_ref, s_ref, o_ref):
+        s = s_ref[...]
+        for r in range(hs):
+            o_ref[0, r] = lax.dot_general(
+                s, x_ref[0, r, :c], (((1,), (1,)), ((), ())),
+                precision=prec,
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel, grid=(b, h // hs),
+        in_specs=[pl.BlockSpec((1, hs, cp, wl), lambda b_, r_: (b_, r_, 0, 0)),
+                  pl.BlockSpec((w_img, wl), lambda b_, r_: (0, 0))],
+        out_specs=pl.BlockSpec((1, hs, w_img, c), lambda b_, r_: (b_, r_, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w_img, c), xp.dtype),
+        interpret=interpret,
+    )(xp, shift)
+
+
 def _leaky(x, slope):
     return jnp.maximum(x, x * slope) if slope is not None else x
 

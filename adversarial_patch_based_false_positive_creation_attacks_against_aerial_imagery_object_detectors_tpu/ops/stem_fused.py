@@ -49,6 +49,7 @@ file exists purely for TPU speed-of-light.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -57,9 +58,32 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .planar_conv import _round_up, from_planar, to_planar
+from .planar_conv import (_round_up, from_planar, from_planar_mxu,
+                          to_planar, to_planar_mxu)
 
 LEAKY = 0.1
+
+
+def _use_mxu_layout() -> bool:
+    """NHWC<->planar conversions at the megakernel boundary via the MXU
+    shifted-identity kernels (TPU only; XLA lowers the jnp transpose+pad
+    as ~0.6 ms/step of layout copies at b8). ADV_PATCH_MXU_LAYOUT=0
+    opts out."""
+    if os.environ.get("ADV_PATCH_MXU_LAYOUT") == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _y5_to_nhwc(y5p, w_img: int):
+    if _use_mxu_layout():
+        return from_planar_mxu(y5p, w_img, 128)
+    return from_planar(y5p, w_img, c=128)
+
+
+def _g5_to_planar(g5):
+    if _use_mxu_layout():
+        return to_planar_mxu(g5)
+    return to_planar(g5)
 
 # E-phase output taps read pieces [src@-1, src@0-alt, src@0] of a
 # phase-block; O-phase taps read [src@0-alt, src@0, src@+1]. With the
@@ -1040,13 +1064,13 @@ def fused_stem(x, sp):
     parameter cotangents are zeros."""
     xe, xo = split_phases(x)
     y5p = fused_stem_fwd(xe, xo, sp)
-    return from_planar(y5p, x.shape[1] // 4, c=128)
+    return _y5_to_nhwc(y5p, x.shape[1] // 4)
 
 
 def _fs_fwd(x, sp):
     xe, xo = split_phases(x)
     acts = fused_stem_fwd(xe, xo, sp, save_acts=True)
-    out = from_planar(acts[0], x.shape[1] // 4, c=128)
+    out = _y5_to_nhwc(acts[0], x.shape[1] // 4)
     return out, (acts, sp)
 
 
@@ -1054,7 +1078,7 @@ def _fs_bwd(resid, g5):
     acts, sp = resid
     h = acts[1].shape[1]
     gxe, gxo = fused_stem_bwd_saved(
-        acts, to_planar(g5.astype(acts[0].dtype)), sp)
+        acts, _g5_to_planar(g5.astype(acts[0].dtype)), sp)
     gx = merge_phases(gxe, gxo, h // 2, 3)
     zeros = jax.tree_util.tree_map(jnp.zeros_like, sp)
     return gx, zeros
@@ -1070,21 +1094,21 @@ def fused_stem_remat(x, sp):
     residual memory: x phases + y5 only)."""
     xe, xo = split_phases(x)
     y5p = fused_stem_fwd(xe, xo, sp)
-    return from_planar(y5p, x.shape[1] // 4, c=128)
+    return _y5_to_nhwc(y5p, x.shape[1] // 4)
 
 
 def _fsr_fwd(x, sp):
     xe, xo = split_phases(x)
     y5p = fused_stem_fwd(xe, xo, sp)
-    out = from_planar(y5p, x.shape[1] // 4, c=128)
+    out = _y5_to_nhwc(y5p, x.shape[1] // 4)
     return out, (xe, xo, y5p, sp)
 
 
 def _fsr_bwd(resid, g5):
     xe, xo, y5p, sp = resid
     h = xe.shape[1]
-    gxe, gxo = fused_stem_bwd(xe, xo, y5p, to_planar(g5.astype(xe.dtype)),
-                              sp)
+    gxe, gxo = fused_stem_bwd(xe, xo, y5p,
+                              _g5_to_planar(g5.astype(xe.dtype)), sp)
     gx = merge_phases(gxe, gxo, h // 2, 3)
     zeros = jax.tree_util.tree_map(jnp.zeros_like, sp)
     return gx, zeros

@@ -120,6 +120,24 @@ def test_planar_roundtrip(rng):
     assert float(jnp.abs(xp[:, :, 5:, :]).max()) == 0
 
 
+def test_mxu_layout_kernels_match_xla(rng):
+    """to_planar_mxu / from_planar_mxu (the fused-stem boundary's MXU
+    shifted-identity transposes) are bit-equal to the jnp conversions,
+    both dtypes, odd widths included."""
+    for dt in (jnp.float32, jnp.bfloat16):
+        for (h, w, c) in [(152, 152, 128), (16, 20, 8), (38, 38, 64)]:
+            x = jnp.asarray(rng.random((2, h, w, c)), dt)
+            want_p = P.to_planar(x)
+            got_p = P.to_planar_mxu(x, interpret=True)
+            assert got_p.shape == want_p.shape
+            np.testing.assert_array_equal(
+                np.asarray(got_p, np.float32), np.asarray(want_p, np.float32))
+            got_x = P.from_planar_mxu(want_p, w, c, interpret=True)
+            np.testing.assert_array_equal(
+                np.asarray(got_x, np.float32),
+                np.asarray(P.from_planar(want_p, w, c=c), np.float32))
+
+
 def _tiny_stem_params(rng):
     sp = []
     for cin, cout, k in [(3, 8, 3), (8, 16, 3), (16, 8, 1), (8, 16, 3),
