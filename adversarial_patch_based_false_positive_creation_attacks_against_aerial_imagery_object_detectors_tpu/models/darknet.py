@@ -314,14 +314,15 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
         else:
             # Measured train-step crossovers (v5e, 608^2 bf16): at local
             # batch 1 the kernel's (batch, stripe) grid is too shallow
-            # to pipeline (8.4 XLA vs 9.2 ms fused) and at b24 the
-            # saved-activation traffic tips it the other way (90.5 vs
-            # 92.0 ms); fused wins in between (b8 29.3 vs 32.0, b16
-            # 58.0 vs 59.3). Auto-default: 2 <= local batch <= 16.
+            # to pipeline (7.3 XLA vs 8.0 ms fused); everywhere else the
+            # fused stem wins since the MXU boundary-layout kernels
+            # (b8 25.1 vs ~27.7, b16 52.3 vs 59.3, b24 82.7 vs 88.8 —
+            # b24 flipped from the pre-layout-kernel measurement).
+            # Auto-default: local batch >= 2.
             local_b = x.shape[0] // (1 if mesh is None
                                      else mesh.devices.size)
             fused_stem = (jax.default_backend() == "tpu"
-                          and 2 <= local_b <= 16
+                          and local_b >= 2
                           and (jax.device_count() == 1
                                or mesh is not None))
     if fused_stem:
