@@ -28,8 +28,9 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.planar_conv import (expand2_planar, from_planar, planar_conv,
-                               to_planar)
+from ..ops.planar_conv import (expand2_planar, from_planar,
+                               from_planar_auto, planar_conv, to_planar,
+                               to_planar_auto)
 
 # layer indices of the stem in the yolov3 block list and their conv
 # geometry: (k, stride, fused_residual_from)
@@ -77,7 +78,7 @@ def _forward(x, sp, interpret=False):
     """x: NHWC [B,H,W,3] in compute dtype. Returns planar activations
     (y0, y1, y2, y3, y5)."""
     (w0, b0), (w1, b1), (w2, b2), (w3, b3), (w5, b5) = sp
-    xp = to_planar(x, c_pad=8)
+    xp = to_planar_auto(x, c_pad=8)
     y0 = planar_conv(xp, w0, b0, k=3, interpret=interpret)
     y1 = planar_conv(y0, w1, b1, k=3, stride=2, interpret=interpret)
     y2 = planar_conv(y1, w2, b2, k=1, interpret=interpret)
@@ -113,12 +114,12 @@ def planar_stem(x, sp):
     """NHWC [B,H,W,3] -> NHWC [B,H/4,W/4,128] via the planar kernels.
     ``sp``: list of (w_hwio, bias) for convs 0,1,2,3,5 (BN-folded)."""
     _, _, _, _, y5 = _forward(x, sp)
-    return from_planar(y5, x.shape[1] // 4, c=128)
+    return from_planar_auto(y5, x.shape[1] // 4, 128)
 
 
 def _stem_fwd(x, sp):
     y0, y1, y2, y3, y5 = _forward(x, sp)
-    out = from_planar(y5, x.shape[1] // 4, c=128)
+    out = from_planar_auto(y5, x.shape[1] // 4, 128)
     return out, (x, sp, y0, y1, y2, y3, y5)
 
 
@@ -143,7 +144,7 @@ def _stem_bwd(resid, g5, interpret=False):
 
     # conv5 (s2): pre-act sign from y5 at decimated resolution (the
     # zero-interleaved positions carry zero cotangent either way)
-    gp5 = _leaky_bwd_planar(to_planar(g5), y5)
+    gp5 = _leaky_bwd_planar(to_planar_auto(g5), y5)
     w5t = _flip_t(w5)
     g_sc = planar_conv(expand2_planar(gp5, h // 4), w5t, zb(w5t),
                        k=3, slope=None, interpret=interpret)
@@ -163,7 +164,7 @@ def _stem_bwd(resid, g5, interpret=False):
     w0t = _pad_cout(_flip_t(w0))                    # cout 3 -> 8 aligned
     g_x0p = planar_conv(gp0, w0t, zb(w0t), k=3, slope=None,
                         interpret=interpret)
-    g_x0 = from_planar(g_x0p, h, c=3)
+    g_x0 = from_planar_auto(g_x0p, h, 3)
     zeros = jax.tree_util.tree_map(jnp.zeros_like, sp)
     return g_x0, zeros
 

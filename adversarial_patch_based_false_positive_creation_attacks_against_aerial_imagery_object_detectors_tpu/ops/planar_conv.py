@@ -70,12 +70,44 @@ def from_planar(xp: jnp.ndarray, w_img: Optional[int] = None,
     return jnp.transpose(xp[:, :, :c, 1:w_img + 1], (0, 1, 3, 2))
 
 
-def _shift_mat(w_img: int, wl: int, dtype):
-    """[w_img, wl] one-hot: row j -> column j+1 (to_planar's 1-lane
-    border shift). One matrix serves both conversion directions."""
-    r = lax.broadcasted_iota(jnp.int32, (w_img, wl), 0)
-    c = lax.broadcasted_iota(jnp.int32, (w_img, wl), 1)
-    return (c == r + 1).astype(dtype)
+def use_mxu_layout() -> bool:
+    """NHWC<->planar conversions at the stem-kernel boundaries via the
+    MXU shifted-identity kernels (TPU only; XLA lowers the jnp
+    transpose+pad as ~1 ms/step of layout copies at b8 and picks
+    unstable conv layouts around the loose boundary).
+    ADV_PATCH_MXU_LAYOUT=0 opts out."""
+    import os
+    if os.environ.get("ADV_PATCH_MXU_LAYOUT") == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def to_planar_auto(x: jnp.ndarray, c_pad: Optional[int] = None):
+    """MXU conversion kernel when profitable, jnp fallback otherwise.
+    The NHWC side's minor dim must be lane-aligned: a pallas operand
+    with C=3 minor forces a 3->128 lane-padded tiling copy (measured
+    12.8 ms for [8,608,608,3] — 100x worse than the jnp path)."""
+    if use_mxu_layout() and x.shape[-1] % 128 == 0:
+        return to_planar_mxu(x, c_pad=c_pad)
+    return to_planar(x, c_pad=c_pad)
+
+
+def from_planar_auto(xp: jnp.ndarray, w_img: int, c: int):
+    if use_mxu_layout() and c % 128 == 0:
+        return from_planar_mxu(xp, w_img, c)
+    return from_planar(xp, w_img, c=c)
+
+
+def _shift_mat(w_in: int, w_out: int, wl: int, dtype, step: int = 1,
+               offset: int = 0):
+    """[w_in, wl] one-hot: input column ``step*j + offset`` -> lane
+    ``j+1`` for j < w_out (to_planar's 1-lane border shift; step=2
+    folds the stride-2 phase decimation into the same dot). One matrix
+    serves both conversion directions."""
+    r = lax.broadcasted_iota(jnp.int32, (w_in, wl), 0)
+    c = lax.broadcasted_iota(jnp.int32, (w_in, wl), 1)
+    return ((r == step * (c - 1) + offset) & (c >= 1)
+            & (c <= w_out)).astype(dtype)
 
 
 def _row_chunk(h: int) -> int:
@@ -85,39 +117,49 @@ def _row_chunk(h: int) -> int:
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def to_planar_mxu(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """``to_planar`` (no c_pad) as a Pallas kernel: per image row, ONE
-    MXU dot against a shifted identity emits the whole transposed,
-    border-shifted, lane-padded planar row.
+@functools.partial(jax.jit,
+                   static_argnames=("c_pad", "step", "offset", "interpret"))
+def to_planar_mxu(x: jnp.ndarray, c_pad: Optional[int] = None,
+                  step: int = 1, offset: int = 0,
+                  interpret: bool = False) -> jnp.ndarray:
+    """``to_planar`` as a Pallas kernel: per image row, ONE MXU dot
+    against a shifted identity emits the whole transposed,
+    border-shifted, lane-padded planar row. ``step``/``offset``
+    additionally fold a strided column decimation into the dot
+    (``step=2, offset=0|1`` = split_phases' even/odd lanes).
 
-    Why: at the fused-stem boundary XLA lowers the transpose+pad as a
-    data-formatting copy chain (~0.6 ms/step at b8 152^2x128 each way);
-    the dot form rides the MXU at a few percent of that, and — being a
-    pallas_call — pins default layouts so XLA stops inserting extra
-    layout copies around the stem kernels. Exact for any dtype: every
-    output element is a single 1.0*x product, f32-accumulated.
-    Requires C a multiple of 8 (bf16 sublane tile); W arbitrary."""
-    b, h, w_img, c = x.shape
-    wl = _round_up(w_img + 2, 128)
+    Why: at the stem kernels' boundaries XLA lowers the transpose+pad
+    as a data-formatting copy chain (~1 ms/step at b8 152^2x128 each
+    way) and the loose layouts invite extra conv-layout copies; the dot
+    form rides the MXU at a few percent of that and pins default
+    layouts. Exact for any dtype: every output element is a single
+    1.0*x product, f32-accumulated."""
+    b, h, w_in, c = x.shape
+    w_out = (w_in - offset + step - 1) // step
+    wl = _round_up(w_out + 2, 128)
+    cp = max(c_pad or c, c)
     hs = _row_chunk(h)
-    shift = _shift_mat(w_img, wl, x.dtype)
+    shift = _shift_mat(w_in, w_out, wl, x.dtype, step, offset)
     prec = (lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
 
     def kernel(x_ref, s_ref, o_ref):
         s = s_ref[...]
         for r in range(hs):
-            o_ref[0, r] = lax.dot_general(
+            t = lax.dot_general(
                 x_ref[0, r], s, (((0,), (0,)), ((), ())),
                 precision=prec,
                 preferred_element_type=jnp.float32).astype(o_ref.dtype)
+            if cp > c:
+                t = jnp.concatenate(
+                    [t, jnp.zeros((cp - c, wl), o_ref.dtype)], axis=0)
+            o_ref[0, r] = t
 
     return pl.pallas_call(
         kernel, grid=(b, h // hs),
-        in_specs=[pl.BlockSpec((1, hs, w_img, c), lambda b_, r_: (b_, r_, 0, 0)),
-                  pl.BlockSpec((w_img, wl), lambda b_, r_: (0, 0))],
-        out_specs=pl.BlockSpec((1, hs, c, wl), lambda b_, r_: (b_, r_, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, c, wl), x.dtype),
+        in_specs=[pl.BlockSpec((1, hs, w_in, c), lambda b_, r_: (b_, r_, 0, 0)),
+                  pl.BlockSpec((w_in, wl), lambda b_, r_: (0, 0))],
+        out_specs=pl.BlockSpec((1, hs, cp, wl), lambda b_, r_: (b_, r_, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, cp, wl), x.dtype),
         interpret=interpret,
     )(x, shift)
 
@@ -130,7 +172,7 @@ def from_planar_mxu(xp: jnp.ndarray, w_img: int, c: int,
     re-transposes the planar row back to NHWC."""
     b, h, cp, wl = xp.shape
     hs = _row_chunk(h)
-    shift = _shift_mat(w_img, wl, xp.dtype)
+    shift = _shift_mat(w_img, w_img, wl, xp.dtype)
     prec = (lax.Precision.HIGHEST if xp.dtype == jnp.float32 else None)
 
     def kernel(x_ref, s_ref, o_ref):

@@ -59,19 +59,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .planar_conv import (_round_up, from_planar, from_planar_mxu,
-                          to_planar, to_planar_mxu)
+                          to_planar, to_planar_mxu, use_mxu_layout)
 
 LEAKY = 0.1
 
-
-def _use_mxu_layout() -> bool:
-    """NHWC<->planar conversions at the megakernel boundary via the MXU
-    shifted-identity kernels (TPU only; XLA lowers the jnp transpose+pad
-    as ~0.6 ms/step of layout copies at b8). ADV_PATCH_MXU_LAYOUT=0
-    opts out."""
-    if os.environ.get("ADV_PATCH_MXU_LAYOUT") == "0":
-        return False
-    return jax.default_backend() == "tpu"
+_use_mxu_layout = use_mxu_layout
 
 
 def _y5_to_nhwc(y5p, w_img: int):
@@ -99,7 +91,12 @@ _PIECES_O = ((1, 0), (2, 1), (3, 2))
 
 def split_phases(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """NHWC [B, H, W, C<=8] -> (even-lane, odd-lane) planar phases, each
-    [B, H, 8, round_up(W/2+2, 128)] with value j at lane j+1."""
+    [B, H, 8, round_up(W/2+2, 128)] with value j at lane j+1.
+
+    Stays on the jnp path: the MXU conversion kernels need the NHWC
+    side's minor dim lane-aligned, and here it is C=3 (a C=3 pallas
+    operand forces a 3->128 lane-padded tiling copy — measured 12.8 ms
+    for [8,608,608,3], 100x the jnp path). Same for merge_phases."""
     xe = to_planar(x[:, :, 0::2, :], c_pad=8)
     xo = to_planar(x[:, :, 1::2, :], c_pad=8)
     return xe, xo
