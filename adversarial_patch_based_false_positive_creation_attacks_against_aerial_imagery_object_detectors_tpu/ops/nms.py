@@ -128,12 +128,29 @@ def greedy_nms_device(boxes: jnp.ndarray, scores: jnp.ndarray,
     top_scores, top_idx = jax.lax.top_k(scores, k)
     top_boxes = boxes[top_idx]
     iou = iou_xywh_matrix(top_boxes, top_boxes, xp=jnp)
+    rk = jnp.arange(k)
+    # sup[j, i]: higher-ranked candidate j suppresses i while j is alive
+    sup_mat = (iou > iou_thresh) & (rk[:, None] < rk[None, :])
+    valid = top_scores > 0
 
-    def body(i, alive):
-        row = jnp.where(jnp.arange(k) > i, iou[i] > iou_thresh, False)
-        return jnp.where(alive[i], alive & ~row, alive)
+    # Greedy NMS is the unique fixpoint of
+    #     alive[i] = valid[i] & ~any_j(sup_mat[j, i] & alive[j])
+    # (unique by induction over rank, since j < i strictly). Jacobi
+    # iteration converges to it from any start in at most
+    # longest-suppression-chain passes — each pass ONE vectorized [k,k]
+    # masked reduction, instead of the k serial scalar steps of the
+    # textbook loop (measured ~14 ms/batch at k=2400 on TPU, where a
+    # fori_loop iteration is latency-bound).
+    def cond(st):
+        a, prev = st
+        return jnp.any(a != prev)
 
-    alive = jax.lax.fori_loop(0, k, body, top_scores > 0)
+    def body(st):
+        a, _ = st
+        return valid & ~jnp.any(sup_mat & a[:, None], axis=0), a
+
+    alive, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.zeros_like(valid)))
     # compact the survivors to the first max_det slots
     rank = jnp.cumsum(alive) - 1
     sel = jnp.where(alive, rank, k)

@@ -144,6 +144,26 @@ def test_nms_device_matches_host(rng):
     np.testing.assert_array_equal(keep_dev, keep_host[:32])
 
 
+def test_nms_device_suppression_chain(rng):
+    """Adversarial case for the Jacobi-fixpoint device NMS: a long
+    suppression chain (box i overlaps only box i+1, scores descending)
+    where greedy keeps exactly the even-ranked boxes — the regime
+    needing the most fixpoint passes."""
+    n = 40
+    # centers spaced so consecutive boxes overlap ~59% IoU, others ~0
+    boxes = np.stack([
+        0.1 + 0.02 * np.arange(n), np.full(n, 0.5),
+        np.full(n, 0.08), np.full(n, 0.08)], axis=1).astype(np.float32)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    keep_host = ops.greedy_nms_host(boxes, scores, 0.4)
+    np.testing.assert_array_equal(keep_host, np.arange(0, n, 2))
+    idx, valid = jax.jit(
+        lambda b, s: ops.greedy_nms_device(b, s, 0.4, max_det=n)
+    )(jnp.asarray(boxes), jnp.asarray(scores))
+    np.testing.assert_array_equal(np.asarray(idx)[np.asarray(valid)],
+                                  keep_host)
+
+
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
