@@ -140,7 +140,13 @@ def greedy_nms_device(boxes: jnp.ndarray, scores: jnp.ndarray,
     # longest-suppression-chain passes — each pass ONE vectorized [k,k]
     # masked reduction, instead of the k serial scalar steps of the
     # textbook loop (measured ~14 ms/batch at k=2400 on TPU, where a
-    # fori_loop iteration is latency-bound).
+    # fori_loop iteration is latency-bound). Real and random scenes
+    # converge in a handful of passes (measured: full-device detect
+    # 37.7 -> 26.6 ms/batch at b16 incl. dense random-weight garbage);
+    # the adversarial worst case — an O(k)-deep chain where every box
+    # suppresses exactly the next — does O(k) passes of O(k^2) work,
+    # but such chains cannot survive the top-k*8 score pruning at
+    # realistic thresholds.
     def cond(st):
         a, prev = st
         return jnp.any(a != prev)
