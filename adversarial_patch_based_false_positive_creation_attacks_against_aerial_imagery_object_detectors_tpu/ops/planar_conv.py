@@ -75,10 +75,12 @@ def use_mxu_layout() -> bool:
     MXU shifted-identity kernels (TPU only; XLA lowers the jnp
     transpose+pad as ~1 ms/step of layout copies at b8 and picks
     unstable conv layouts around the loose boundary).
-    ADV_PATCH_MXU_LAYOUT=0 opts out."""
+    ADV_PATCH_MXU_LAYOUT=0/1 forces either way (=1 is used by tests to
+    exercise the kernel path off-TPU in interpret mode)."""
     import os
-    if os.environ.get("ADV_PATCH_MXU_LAYOUT") == "0":
-        return False
+    env = os.environ.get("ADV_PATCH_MXU_LAYOUT")
+    if env is not None:
+        return env == "1"
     return jax.default_backend() == "tpu"
 
 

@@ -185,14 +185,19 @@ def test_fused_stem_shard_map():
                             ).strip()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = """
-import functools, sys
+import functools, os, sys
 import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import jax.numpy as jnp
 sys.path.insert(0, {repo!r})
 sys.path.insert(0, {tests!r})
+# force the MXU boundary-layout kernel path (TPU-gated by default) so
+# the shard_map + conversion-kernel combination is what multi-chip TPU
+# meshes actually run
+os.environ["ADV_PATCH_MXU_LAYOUT"] = "1"
 from test_stem_fused import make_sp, sign_safe_mask, xla_stem
+from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.ops import planar_conv as PC
 from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.ops import stem_fused as SF
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
@@ -200,6 +205,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 SF.fused_stem_fwd = functools.partial(SF.fused_stem_fwd, interpret=True)
 SF.fused_stem_bwd_saved = functools.partial(SF.fused_stem_bwd_saved,
                                             interpret=True)
+SF.from_planar_mxu = functools.partial(PC.from_planar_mxu, interpret=True)
+SF.to_planar_mxu = functools.partial(PC.to_planar_mxu, interpret=True)
 rng = np.random.default_rng(7)
 h, bsz = 32, 4
 sp = make_sp(rng)
