@@ -416,11 +416,6 @@ def _shift_block(sh, r0, ref, i, wq, sl):
     sh[r0 + 2 * c:r0 + 3 * c, :wq] = r[:, sl2]
 
 
-def _dot(w_ref, sh, k, wq, prec):
-    return jnp.dot(w_ref[:], sh[0:k, :wq], precision=prec,
-                   preferred_element_type=jnp.float32)
-
-
 # Row loops are Python-unrolled; Mosaic software-pipelines the unrolled
 # bodies (measured 7.96 -> 4.38 ms fwd vs lax.fori_loop rows).
 def _pairs(n_rows, body):
@@ -436,14 +431,24 @@ def _pairs(n_rows, body):
 def _compute_y0_phases(xe, xo, y0e, y0o, w0p_ref, b0_ref, sh, *, n_rows,
                        base, h, wq, prec, sl):
     """conv0, one [128,128] dot per row pair -> both rows x both phases.
-    x local rows for y0 local i are i..i+2."""
+    x local rows for y0 local i are i..i+2.
+
+    Linear write-once cache: one phase block per x row, written before
+    any dot; each pair's dot reads a sliding contiguous window. The
+    previous per-pair shared 4-block cache made every dot a WAR hazard
+    for the NEXT pair's cache writes — the serial cache-write -> dot ->
+    store chain ROADMAP flagged — and rewrote every overlapping block
+    twice."""
     bias = b0_ref[:].astype(jnp.float32)
+    for i in range(n_rows + 2):
+        _phase_block(sh, i * 32, xe, xo, i, wq, sl)
 
     def pair(p):
         i = 2 * p
-        for bb in range(4):
-            _phase_block(sh, bb * 32, xe, xo, i + bb, wq, sl)
-        y = _leaky_f32(_dot(w0p_ref, sh, 128, wq, prec), bias)
+        y = _leaky_f32(
+            jnp.dot(w0p_ref[:], sh[i * 32:(i + 4) * 32, :wq],
+                    precision=prec, preferred_element_type=jnp.float32),
+            bias)
         i0 = _in_range(base, i, h)
         i1 = _in_range(base, i + 1, h)
         _store_row(y0e, i, y[0:32], wq, scale=i0)
@@ -473,20 +478,24 @@ def _compute_y123(y0e, y0o, y1b, y2b, y3b, w1p_ref, w2d_ref, w3p_ref,
         jnp.float32)
     sl0, sl1, _ = sl
 
+    # linear write-once cache over y0 rows (see _compute_y0_phases)
+    for yr in range(2 * n1 + 1):
+        # conv1 pieces: [y0O sl0, y0E sl1, y0O sl1]
+        o = y0o[pl.ds(yr, 1)][0]
+        sh[yr * 96:yr * 96 + 32, :wq] = o[:, sl0]
+        sh[yr * 96 + 32:yr * 96 + 64, :wq] = \
+            y0e[pl.ds(yr, 1)][0][:, sl1]
+        sh[yr * 96 + 64:yr * 96 + 96, :wq] = o[:, sl1]
+
     def pair1(p):
         j = 2 * p
-        for bb in range(5):
-            # conv1 pieces: [y0O sl0, y0E sl1, y0O sl1]
-            yr = 2 * j + bb
-            o = y0o[pl.ds(yr, 1)][0]
-            sh[bb * 96:bb * 96 + 32, :wq] = o[:, sl0]
-            sh[bb * 96 + 32:bb * 96 + 64, :wq] = \
-                y0e[pl.ds(yr, 1)][0][:, sl1]
-            sh[bb * 96 + 64:bb * 96 + 96, :wq] = o[:, sl1]
         i0 = _in_range(base1, j, h1)
         i1 = _in_range(base1, j + 1, h1)
         sv = half * i0 + (1.0 - half) * i1
-        y1 = _leaky_f32(_dot(w1p_ref, sh, 480, wq, prec), b1) * sv
+        y1 = _leaky_f32(
+            jnp.dot(w1p_ref[:], sh[2 * j * 96:(2 * j + 5) * 96, :wq],
+                    precision=prec, preferred_element_type=jnp.float32),
+            b1) * sv
         _store_row(y1b, j, y1[0:64], wq)
         _store_row(y1b, j + 1, y1[64:128], wq)
         # conv2 on the stored rounding of the hot rows
@@ -499,11 +508,17 @@ def _compute_y123(y0e, y0o, y1b, y2b, y3b, w1p_ref, w2d_ref, w3p_ref,
 
     _pairs(n1, pair1)
 
+    # linear cache over y2 rows (overwrites the conv1 cache; one WAR
+    # boundary per stage instead of per pair)
+    for r in range(n3 + 2):
+        _shift_block(sh, r * 96, y2b, r + off3, wq, sl)
+
     def pair3(p):
         i = 2 * p
-        for bb in range(4):
-            _shift_block(sh, bb * 96, y2b, i + bb + off3, wq, sl)
-        y3 = _leaky_f32(_dot(w3p_ref, sh, 384, wq, prec), b3)
+        y3 = _leaky_f32(
+            jnp.dot(w3p_ref[:], sh[i * 96:(i + 4) * 96, :wq],
+                    precision=prec, preferred_element_type=jnp.float32),
+            b3)
         _store_row(y3b, i, y3[0:64], wq, scale=_in_range(base3, i, h1))
         _store_row(y3b, i + 1, y3[64:128], wq,
                    scale=_in_range(base3, i + 1, h1))
@@ -564,21 +579,35 @@ def _fwd_kernel(xe_hbm, xo_hbm, w0p, w1p, w2d, w3p, w5m,
         y2_o[0] = sgn(y2b[2:2 + 2 * s5])
         y3_o[0] = sgn(y3b[1:1 + 2 * s5])        # y3 base 2a-1
 
-    # conv5 (s2): per-row per-dy dots (M=128 already fills the MXU;
-    # a [256,960] row-pair variant measured ~0.35 ms SLOWER fwd) +
-    # one-hot lane decimation. s4 local rows for y5 stripe-row r: 2r+dy.
+    # conv5 (s2): one [128,576] all-dy dot per row (M=128 fills the
+    # MXU; a [256,960] row-PAIR variant measured ~0.35 ms slower — f32
+    # accumulator spill) + one-hot lane decimation, fed from a linear
+    # write-once s4 cache. s4 local rows for y5 stripe-row r: 2r+dy.
     bias5 = b5[:].astype(jnp.float32)
+    for r2 in range(2 * s5 + 1):
+        _shift_block(sh, r2 * 192, s4b, r2, wq, sl)
 
     for r in range(s5):
-        acc = jnp.zeros((128, wq), jnp.float32)
-        for dy in range(3):
-            _shift_block(sh, 0, s4b, 2 * r + dy, wq, sl)
-            acc = acc + jnp.dot(w5m[dy], sh[0:192, :wq], precision=prec,
-                                preferred_element_type=jnp.float32)
+        acc = jnp.dot(w5m[:], sh[2 * r * 192:(2 * r + 3) * 192, :wq],
+                      precision=prec, preferred_element_type=jnp.float32)
         y = _leaky_f32(acc, bias5).astype(y5_out.dtype)
         dec = jnp.dot(y, sel5[:], precision=prec,
                       preferred_element_type=jnp.float32)
         _store_out_row(y5_out, r, dec, wh5)
+
+
+def _sh_rows_grad(s5: int, recompute: bool) -> int:
+    """Rows of the linear write-once tap cache for the grad chain (all
+    five stages reuse one buffer sequentially), plus — for the remat
+    kernel — the activation-recompute stages at their wider bases."""
+    rows = max((2 * s5 + 6) * 128,      # conv5-dx (g5 row, slice) blocks
+               (2 * s5 + 4) * 192,      # conv3t gp3 shift blocks
+               (4 * s5 + 6) * 64,       # conv1-dx (gp1 row, slice)
+               (4 * s5 + 3) * 128)      # conv0t gp0 phase blocks
+    if recompute:
+        rows = max(rows, (4 * s5 + 16) * 32, (4 * s5 + 13) * 96,
+                   (2 * s5 + 6) * 96)
+    return rows
 
 
 def _pick_s5(h5: int, vmem_rows: int = 8) -> int:
@@ -595,7 +624,9 @@ def _fwd_weights(sp, dt):
     w2m = w2.reshape(w2.shape[2], w2.shape[3]).T
     w2d = _blkw((64, 128), [(0, 0, w2m), (32, 64, w2m)], dt)
     w3p = _blkw((128, 384), _w3_pair(w3), dt)
-    w5m = (w5.transpose(0, 3, 1, 2).reshape(3, 128, 192)).astype(dt)
+    # conv5 all-dy matrix [128, 576]: cols (dy, dx, cin64) — one dot per
+    # y5 row over a 3-s4-row cache window
+    w5m = (w5.transpose(3, 0, 1, 2).reshape(128, 576)).astype(dt)
     biases = [
         jnp.tile(b0.reshape(-1, 1), (4, 1)).astype(jnp.float32),
         jnp.tile(b1.reshape(-1, 1), (2, 1)).astype(jnp.float32),
@@ -661,7 +692,11 @@ def fused_stem_fwd(xe, xo, sp, s5: Optional[int] = None,
         pltpu.VMEM((2 * s5 + 4, 32, wlh), dt),      # y2
         pltpu.VMEM((2 * s5 + 2, 64, wlh), dt),      # y3
         pltpu.VMEM((2 * s5 + 2, 64, wlh), dt),      # s4
-        pltpu.VMEM((480, wlh), dt),                 # sh cache
+        # linear write-once tap cache, sized for the largest stage
+        # (conv0 / conv1 / conv3 / conv5 windows)
+        pltpu.VMEM((max((4 * s5 + 12) * 32, (4 * s5 + 9) * 96,
+                        (2 * s5 + 4) * 96, (2 * s5 + 1) * 192), wlh),
+                   dt),
         pltpu.SemaphoreType.DMA(()),
     ]
     return pl.pallas_call(
@@ -737,15 +772,22 @@ def _grad_chain(w5dx, w1dx, w3tq, w3tp, w2td, w0to, w0tp, se_t, so_t,
     g5b[:] = (g5b[:].astype(jnp.float32)
               * _mask_of(y5b[:])).astype(g5b.dtype)
 
-    # --- conv5-dx: one [256,512] dot + two interleave dots per pair
+    # --- conv5-dx: one [256,512] dot + two interleave dots per pair,
+    # fed from a linear write-once cache (one block per (g5 row, lane
+    # slice); a pair's 4-block window is blocks [2p, 2p+4)). The
+    # previous shared per-pair cache serialized every dot against the
+    # next pair's cache writes (WAR) — see _compute_y0_phases.
     base_gs4 = 2 * a - 2
+    n_g5 = s5 + 3
+    for r in range(n_g5):
+        g = g5b[pl.ds(r, 1)][0]
+        sh[(2 * r) * 128:(2 * r + 1) * 128, :wh5] = g[:, g_sl[0]]
+        sh[(2 * r + 1) * 128:(2 * r + 2) * 128, :wh5] = g[:, g_sl[1]]
 
     def pair_gs4(p):
-        for bb, (gi, s_) in enumerate(((p, 0), (p, 1), (p + 1, 0),
-                                       (p + 1, 1))):
-            sh[bb * 128:(bb + 1) * 128, :wh5] = \
-                g5b[pl.ds(gi, 1)][0][:, g_sl[s_]]
-        out = _dot(w5dx, sh, 512, wh5, prec)            # [256, wh5]
+        out = jnp.dot(w5dx[:], sh[2 * p * 128:(2 * p + 4) * 128, :wh5],
+                      precision=prec,
+                      preferred_element_type=jnp.float32)  # [256, wh5]
         gpair = (jnp.dot(out[0:128].astype(gs4.dtype), se_t[:],
                          precision=prec,
                          preferred_element_type=jnp.float32)
@@ -769,11 +811,13 @@ def _grad_chain(w5dx, w1dx, w3tq, w3tp, w2td, w0to, w0tp, se_t, so_t,
     # utilization); the 2-row remainder uses the pair matrix.
     base_gp = 2 * a - 1
     n_gp2 = 2 * s5 + 2
+    for r in range(n_gp2 + 2):
+        _shift_block(sh, r * 192, gp3, r, wq, sl)
 
     def rows_gp2(i, nr, wmat, k):
-        for bb in range(nr + 2):
-            _shift_block(sh, bb * 192, gp3, i + bb, wq, sl)
-        out = _dot(wmat, sh, k, wq, prec)               # [nr*32, wq]
+        out = jnp.dot(wmat[:], sh[i * 192:i * 192 + k, :wq],
+                      precision=prec,
+                      preferred_element_type=jnp.float32)  # [nr*32, wq]
         for r in range(i, i + nr):
             m2 = _mask_of(y2b[pl.ds(r + 2, 1)][0][:, sl1])
             _store_row(gp2, r, out[(r - i) * 32:(r - i) * 32 + 32] * m2,
@@ -789,11 +833,13 @@ def _grad_chain(w5dx, w1dx, w3tq, w3tp, w2td, w0to, w0tp, se_t, so_t,
 
     # --- conv2t (block-diag) + residual + y1 gate -> gp1; quad rows
     # per dot, 2-row remainder on the lower-left pair sub-block.
+    n_gp1r = 2 * s5 + 2
+    for r in range(n_gp1r):
+        sh[r * 32:(r + 1) * 32, :wq] = gp2[pl.ds(r, 1)][0][:, sl1]
+
     def rows_gp1(i, nr):
-        for j in range(nr):
-            sh[j * 32:(j + 1) * 32, :wq] = \
-                gp2[pl.ds(i + j, 1)][0][:, sl1]
-        out = jnp.dot(w2td[0:nr * 64, 0:nr * 32], sh[0:nr * 32, :wq],
+        out = jnp.dot(w2td[0:nr * 64, 0:nr * 32],
+                      sh[i * 32:(i + nr) * 32, :wq],
                       precision=prec,
                       preferred_element_type=jnp.float32)
         for r in range(i, i + nr):
@@ -804,7 +850,6 @@ def _grad_chain(w5dx, w1dx, w3tq, w3tp, w2td, w0to, w0tp, se_t, so_t,
                        scale=_in_range(base_gp, r, h1))
 
     i = 0
-    n_gp1r = 2 * s5 + 2
     while i + 4 <= n_gp1r:
         rows_gp1(i, 4)
         i += 4
@@ -816,14 +861,16 @@ def _grad_chain(w5dx, w1dx, w3tq, w3tp, w2td, w0to, w0tp, se_t, so_t,
     # y0 gates fused. Rows [4a-2, 4b+2); the last (odd) row is dead.
     base_gp0 = 4 * a - 2
     n_gp1 = 2 * s5 + 2
+    # one extra clamped block reproduces the old last-pair row clamp
+    for r in range(n_gp1 + 1):
+        g = gp1[pl.ds(min(r, n_gp1 - 1), 1)][0]
+        sh[(2 * r) * 64:(2 * r + 1) * 64, :wq] = g[:, sl[1]]
+        sh[(2 * r + 1) * 64:(2 * r + 2) * 64, :wq] = g[:, sl[2]]
 
     def pair_gp0(p):
-        p1 = min(p + 1, n_gp1 - 1)
-        for bb, (gi, s_) in enumerate(((p, 1), (p, 2), (p1, 1),
-                                       (p1, 2))):
-            sh[bb * 64:(bb + 1) * 64, :wq] = \
-                gp1[pl.ds(gi, 1)][0][:, sl[s_]]
-        out = _dot(w1dx, sh, 256, wq, prec)             # [128, wq]
+        out = jnp.dot(w1dx[:], sh[2 * p * 64:(2 * p + 4) * 64, :wq],
+                      precision=prec,
+                      preferred_element_type=jnp.float32)  # [128, wq]
         for k, r in enumerate((2 * p, 2 * p + 1)):
             ind = _in_range(base_gp0, r, h)
             me = _mask_of(y0e[pl.ds(r + 5, 1)][0][:, sl1])
@@ -840,11 +887,13 @@ def _grad_chain(w5dx, w1dx, w3tq, w3tp, w2td, w0to, w0tp, se_t, so_t,
     # passes at 25% M utilization; a <8-row remainder (odd s5) uses
     # the pair matrix.
     n_gx = 4 * s5
+    for r in range(1, n_gx + 3):
+        _phase_block(sh, r * 128, gp0e, gp0o, r, wq, sl)
 
     def rows_gx(q, nr, wmat, k):
-        for bb in range(nr + 2):
-            _phase_block(sh, bb * 128, gp0e, gp0o, q + 1 + bb, wq, sl)
-        out = _dot(wmat, sh, k, wq, prec)               # [nr*16, wq]
+        out = jnp.dot(wmat[:], sh[(q + 1) * 128:(q + 1) * 128 + k, :wq],
+                      precision=prec,
+                      preferred_element_type=jnp.float32)  # [nr*16, wq]
         for j in range(nr):
             _store_out_row(gxe_out, q + j, out[j * 16:j * 16 + 8], wq)
             _store_out_row(gxo_out, q + j,
@@ -907,7 +956,7 @@ def fused_stem_bwd(xe, xo, y5p, g5p, sp, s5: Optional[int] = None,
         pltpu.VMEM((2 * s5 + 2, 64, wlh), dt),      # gp1
         pltpu.VMEM((4 * s5 + 4, 32, wlh), dt),      # gp0e
         pltpu.VMEM((4 * s5 + 4, 32, wlh), dt),      # gp0o
-        pltpu.VMEM((1280, wlh), dt),                # sh cache
+        pltpu.VMEM((_sh_rows_grad(s5, recompute=True), wlh), dt),
         pltpu.SemaphoreType.DMA(()),
     ]
     return pl.pallas_call(
@@ -1019,7 +1068,7 @@ def fused_stem_bwd_saved(acts, g5p, sp, s5: Optional[int] = None,
         pltpu.VMEM((2 * s5 + 2, 64, wlh), dt),      # gp1
         pltpu.VMEM((4 * s5 + 4, 32, wlh), dt),      # gp0e
         pltpu.VMEM((4 * s5 + 4, 32, wlh), dt),      # gp0o
-        pltpu.VMEM((1280, wlh), dt),                # sh cache
+        pltpu.VMEM((_sh_rows_grad(s5, recompute=False), wlh), dt),
         pltpu.SemaphoreType.DMA(()),
     ]
     return pl.pallas_call(
