@@ -67,3 +67,27 @@ def test_enable_compile_cache_off_on_cpu(monkeypatch):
     assert jax.config.jax_compilation_cache_dir == before
     monkeypatch.setenv("APFP_COMPILE_CACHE", "0")
     assert enable_compile_cache() is False
+
+
+def test_plot_history_writes_png(tmp_path):
+    """tools/plot_history.py turns a run's train_log.jsonl into the
+    loss-decomposition figure (the reference's commented-out np.save
+    plotting hook, reference train_patch.py:601-602)."""
+    import json
+    import sys
+
+    run = tmp_path / "run"
+    run.mkdir()
+    with open(run / "train_log.jsonl", "w") as f:
+        for ep in range(3):
+            f.write(json.dumps({
+                "epoch": ep, "loss": 7.0 - ep, "no_obj": 3.9, "no_cls": 2.7,
+                "tv": 0.4, "colorful": 0.13, "nps": 4e-4, "det": 0.0,
+                "lr": 0.03, "epoch_time": 1.0}) + "\n")
+    sys.path.insert(0, "tools")
+    try:
+        import plot_history
+        plot_history.main([str(run)])
+    finally:
+        sys.path.remove("tools")
+    assert (run / "loss_curves.png").stat().st_size > 1000
