@@ -11,6 +11,7 @@ V100S run (~0.8 steps/s at batch 24 => 19.2 img/s; BASELINE.md).
 """
 
 import json
+import os
 import time
 
 import jax
@@ -54,10 +55,24 @@ def main():
     labels = jax.device_put(labels, data)
     lr = jnp.float32(0.03)
 
-    # warmup / compile
-    for _ in range(3):
-        state, aux = step(state, params, images, labels, lr)
-    jax.block_until_ready(state.patch)
+    # warmup / compile. Safety net: if the Pallas fast paths fail to
+    # compile on this backend (e.g. a Mosaic/libtpu version skew), fall
+    # back to the pure-XLA step rather than reporting nothing.
+    try:
+        for _ in range(3):
+            state, aux = step(state, params, images, labels, lr)
+        jax.block_until_ready(state.patch)
+    except Exception as e:  # noqa: BLE001
+        print(f"# fused-kernel path failed ({type(e).__name__}); "
+              f"falling back to the XLA stem", flush=True)
+        os.environ["ADV_PATCH_FUSED_STEM"] = "0"
+        os.environ["ADV_PATCH_MXU_LAYOUT"] = "0"
+        state = jax.device_put(
+            T.init_train_state(exp, jax.random.PRNGKey(0)), rep)
+        step = T.make_train_step(net, exp, mesh=mesh)
+        for _ in range(3):
+            state, aux = step(state, params, images, labels, lr)
+        jax.block_until_ready(state.patch)
 
     n_steps = 30
     t0 = time.perf_counter()
