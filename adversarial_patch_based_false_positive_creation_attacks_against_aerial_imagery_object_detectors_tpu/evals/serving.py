@@ -22,17 +22,22 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import Future
-from dataclasses import dataclass, field
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 
 
 @dataclass
 class ServiceStats:
+    """Running counters only (a long-lived service must not grow
+    per-batch state without bound)."""
     requests: int = 0
     batches: int = 0
-    batch_sizes: List[int] = field(default_factory=list)
+
+    @property
+    def mean_batch(self) -> float:
+        return self.requests / self.batches if self.batches else 0.0
 
 
 class DetectionService:
@@ -65,6 +70,12 @@ class DetectionService:
         self._queue: "queue.Queue" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        # serializes submit-enqueue against stop-drain: once _stop is set
+        # under this lock no new item can enter the queue, so the
+        # post-join drain in stop() provably fails every pending Future
+        # (an unguarded submit racing a concurrent stop() could enqueue
+        # after the drain and block its caller forever)
+        self._lifecycle = threading.Lock()
 
     # -- lifecycle ---------------------------------------------------
     def start(self, warmup: bool = True) -> "DetectionService":
@@ -85,13 +96,14 @@ class DetectionService:
         return self
 
     def stop(self) -> None:
-        if self._worker is None:
-            return
-        self._stop.set()
-        self._queue.put(None)  # wake the worker
+        with self._lifecycle:
+            if self._worker is None:
+                return
+            self._stop.set()  # from here on submit() raises, no new items
+            self._queue.put(None)  # wake the worker
         self._worker.join()
         self._worker = None
-        # fail any requests that raced in after the drain
+        # fail whatever the worker left behind; nothing can arrive later
         while True:
             try:
                 item = self._queue.get_nowait()
@@ -118,8 +130,6 @@ class DetectionService:
         float input is quantized to 1/255 steps (and a uint8 input
         passes through exactly); with a float32 wire a uint8 input is
         divided by 255 on the host."""
-        if self._worker is None:
-            raise RuntimeError("service not started")
         s = self.detector.img_size
         image = np.asarray(image)
         if image.shape != (s, s, 3):
@@ -135,7 +145,10 @@ class DetectionService:
             else:
                 image = np.asarray(image, np.float32)
         fut: Future = Future()
-        self._queue.put((image, fut))
+        with self._lifecycle:
+            if self._worker is None or self._stop.is_set():
+                raise RuntimeError("service not started")
+            self._queue.put((image, fut))
         return fut.result(timeout=timeout)
 
     # -- worker side -------------------------------------------------
@@ -177,7 +190,6 @@ class DetectionService:
             return
         self.stats.requests += n
         self.stats.batches += 1
-        self.stats.batch_sizes.append(n)
         for i, (_, fut) in enumerate(batch):
             fut.set_result(dets[i][valid[i].astype(bool)])
 

@@ -325,6 +325,12 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
                           and local_b >= 2
                           and (jax.device_count() == 1
                                or mesh is not None))
+    if fused_stem and mesh is None and jax.device_count() > 1:
+        # The same >1-device guard the auto-default applies must also
+        # gate an EXPLICIT fused_stem=True (e.g. Detector on TPU): with
+        # no mesh to shard_map over, GSPMD treats the opaque pallas_call
+        # as replicated and would silently gather a sharded batch.
+        fused_stem = False
     if fused_stem:
         from . import stem_planar
         from ..ops import stem_fused

@@ -16,6 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Jacobi-NMS pass bound before falling back to the exact serial scan
+# (see greedy_nms_device); module-level so tests can pin it low and
+# exercise the fallback.
+JACOBI_MAX_PASSES = 32
+
 
 def iou_xywh_matrix(boxes_a, boxes_b, xp=np):
     """Pairwise IoU for center-format boxes [N,4] x [M,4] -> [N,M].
@@ -142,21 +147,37 @@ def greedy_nms_device(boxes: jnp.ndarray, scores: jnp.ndarray,
     # textbook loop (measured ~14 ms/batch at k=2400 on TPU, where a
     # fori_loop iteration is latency-bound). Real and random scenes
     # converge in a handful of passes (measured: full-device detect
-    # 37.7 -> 26.6 ms/batch at b16 incl. dense random-weight garbage);
-    # the adversarial worst case — an O(k)-deep chain where every box
-    # suppresses exactly the next — does O(k) passes of O(k^2) work,
-    # but such chains cannot survive the top-k*8 score pruning at
-    # realistic thresholds.
+    # 37.7 -> 26.6 ms/batch at b16 incl. dense random-weight garbage).
+    # This framework *fabricates* dense overlapping detections, though,
+    # so deep suppression chains are plausible inputs, and unbounded
+    # Jacobi on an O(k)-deep chain would do O(k) passes of O(k^2) work.
+    # Worst-case latency is made predictable by capping the passes and
+    # finishing the rare non-converged case with the exact serial scan
+    # (one O(k) fori_loop of O(k) work — cheaper than one more ceiling
+    # of Jacobi passes), so the result is the greedy fixpoint either way.
+    max_passes = JACOBI_MAX_PASSES
+
     def cond(st):
-        a, prev = st
-        return jnp.any(a != prev)
+        a, prev, it = st
+        return jnp.any(a != prev) & (it < max_passes)
 
     def body(st):
-        a, _ = st
-        return valid & ~jnp.any(sup_mat & a[:, None], axis=0), a
+        a, _, it = st
+        return (valid & ~jnp.any(sup_mat & a[:, None], axis=0), a,
+                it + 1)
 
-    alive, _ = jax.lax.while_loop(
-        cond, body, (valid, jnp.zeros_like(valid)))
+    alive, prev_alive, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.zeros_like(valid), 0))
+
+    def serial_greedy(_):
+        # textbook rank-order scan from scratch: if i is alive it kills
+        # every lower-ranked overlap; exact by construction
+        def step(i, a):
+            return a & ~(sup_mat[i] & a[i])
+        return jax.lax.fori_loop(0, k, step, valid)
+
+    alive = jax.lax.cond(jnp.any(alive != prev_alive), serial_greedy,
+                         lambda _: alive, operand=None)
     # compact the survivors to the first max_det slots
     rank = jnp.cumsum(alive) - 1
     sel = jnp.where(alive, rank, k)

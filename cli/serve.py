@@ -60,8 +60,7 @@ def make_handler(service: DetectionService, names, img_size: int):
                 s = service.stats
                 self._json(200, {
                     "requests": s.requests, "batches": s.batches,
-                    "mean_batch": (sum(s.batch_sizes) / len(s.batch_sizes)
-                                   if s.batch_sizes else 0.0)})
+                    "mean_batch": s.mean_batch})
             else:
                 self._json(404, {"error": "unknown path"})
 

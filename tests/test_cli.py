@@ -35,6 +35,7 @@ def raw_images(tmp_path_factory):
 MODEL_ARGS = ["--img-size", "64", "--fp32"]
 
 
+@pytest.mark.slow
 def test_full_cli_pipeline(tiny_cfg, raw_images, tmp_path):
     import images_filter
     import clean_img_pre

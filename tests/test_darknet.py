@@ -300,6 +300,7 @@ def _torch_forward_heads(blocks, params_np, x_nchw):
     return heads
 
 
+@pytest.mark.slow
 def test_full_yolov3_forward_torch_parity(tmp_path, rng):
     """The full 75-conv yolov3-dota graph (random weights, round-tripped
     through the darknet binary format) matches a torch oracle at every

@@ -22,6 +22,7 @@ def test_entry_shapes():
         (1, 19, 19, 60), (1, 38, 38, 60), (1, 76, 76, 60)]
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     g.dryrun_multichip(8)
 

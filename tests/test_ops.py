@@ -164,6 +164,34 @@ def test_nms_device_suppression_chain(rng):
                                   keep_host)
 
 
+def test_nms_device_jacobi_cap_falls_back_serial(monkeypatch, rng):
+    """A chain deeper than the Jacobi pass cap must hit the exact serial
+    fallback and still return the greedy fixpoint (bounded worst-case
+    latency on adversarially dense detections is the whole point of this
+    framework's outputs)."""
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.ops import nms as nms_mod
+
+    n = 40
+    boxes = np.stack([
+        0.1 + 0.02 * np.arange(n), np.full(n, 0.5),
+        np.full(n, 0.08), np.full(n, 0.08)], axis=1).astype(np.float32)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    keep_host = ops.greedy_nms_host(boxes, scores, 0.4)
+    monkeypatch.setattr(nms_mod, "JACOBI_MAX_PASSES", 2)
+    idx, valid = ops.greedy_nms_device(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.4, max_det=n)
+    np.testing.assert_array_equal(np.asarray(idx)[np.asarray(valid)],
+                                  keep_host)
+    # and random dense boxes agree with host greedy under the cap too
+    rb = rng.random((64, 4), dtype=np.float32) * 0.3 + 0.1
+    rs = rng.random(64, dtype=np.float32) * 0.9 + 0.05
+    keep_host = ops.greedy_nms_host(rb, rs, 0.4)
+    idx, valid = ops.greedy_nms_device(
+        jnp.asarray(rb), jnp.asarray(rs), 0.4, max_det=64)
+    np.testing.assert_array_equal(np.asarray(idx)[np.asarray(valid)],
+                                  keep_host)
+
+
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------

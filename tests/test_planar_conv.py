@@ -165,6 +165,7 @@ def _ref_stem(x, sp):
     return conv(y3 + y1, *sp[4], 2)
 
 
+@pytest.mark.slow
 def test_stem_forward_matches_reference(rng):
     h = 64
     x = jnp.asarray(rng.standard_normal((2, h, h, 3)) * 0.5, jnp.float32)
@@ -176,6 +177,7 @@ def test_stem_forward_matches_reference(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_stem_backward_matches_autodiff(rng):
     """The custom (mixed planar/XLA) backward must equal jax.grad of the
     NHWC reference chain — this is the patch-gradient path."""

@@ -107,6 +107,50 @@ def test_submit_validates_shape_and_lifecycle(tiny_detector):
         svc.submit(np.zeros((64, 64, 3), np.float32))  # stopped
 
 
+def test_stats_are_bounded_running_counters(tiny_detector):
+    """A long-lived service keeps O(1) stats state (no per-batch list);
+    mean batch size comes from the running counters."""
+    rng = np.random.default_rng(7)
+    svc = DetectionService(tiny_detector, max_batch=4, window_ms=1.0,
+                           conf_thresh=0.05, nms_thresh=0.4)
+    with svc:
+        for _ in range(3):
+            svc.submit(rng.random((64, 64, 3), dtype=np.float32))
+    assert svc.stats.requests == 3
+    assert svc.stats.mean_batch == svc.stats.requests / svc.stats.batches
+    assert not hasattr(svc.stats, "batch_sizes")
+
+
+def test_submit_stop_race_never_leaves_unresolved_future(tiny_detector):
+    """Hammer submit() from many threads while stop() runs: every submit
+    either returns rows or raises, within a bounded wait — no Future may
+    be left unresolved (the pre-lock race could enqueue after stop's
+    drain and block its caller forever)."""
+    rng = np.random.default_rng(11)
+    img = rng.random((64, 64, 3), dtype=np.float32)
+    outcomes = []
+
+    def hammer(svc):
+        try:
+            outcomes.append(("ok", svc.submit(img, timeout=30.0)))
+        except RuntimeError as e:
+            outcomes.append(("refused", str(e)))
+
+    for trial in range(5):
+        svc = DetectionService(tiny_detector, max_batch=4, window_ms=0.5,
+                               conf_thresh=0.05, nms_thresh=0.4)
+        svc.start(warmup=(trial == 0))
+        threads = [threading.Thread(target=hammer, args=(svc,))
+                   for _ in range(8)]
+        for t in threads:
+            t.start()
+        svc.stop()
+        for t in threads:
+            t.join(timeout=60.0)
+            assert not t.is_alive(), "submit blocked across stop()"
+    assert len(outcomes) == 5 * 8  # every caller got an answer
+
+
 def test_http_endpoint_end_to_end(tiny_detector):
     """Real HTTP server on a random port with the tiny model: /healthz,
     /detect with PNG bytes, /stats."""

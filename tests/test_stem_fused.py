@@ -83,6 +83,7 @@ def test_split_merge_roundtrip(rng):
 
 
 @pytest.mark.parametrize("h,s5", [(32, 8), (64, 4), (64, 8), (64, 2)])
+@pytest.mark.slow
 def test_fused_stem_forward_parity(h, s5, rng):
     sp = make_sp(rng)
     x = jnp.asarray(rng.random((2, h, h, 3)), jnp.float32)
@@ -94,6 +95,7 @@ def test_fused_stem_forward_parity(h, s5, rng):
 
 
 @pytest.mark.parametrize("h,s5", [(32, 8), (64, 4), (64, 8)])
+@pytest.mark.slow
 def test_fused_stem_backward_parity(h, s5, rng):
     sp = make_sp(rng)
     x = jnp.asarray(rng.random((2, h, h, 3)), jnp.float32)
@@ -113,6 +115,7 @@ def test_fused_stem_backward_parity(h, s5, rng):
                                atol=2e-5 * scale)
 
 
+@pytest.mark.slow
 def test_fused_stem_custom_vjp(rng, monkeypatch):
     """The NHWC drop-in wrapper: forward output and jax.grad cotangent
     both match the XLA oracle (interpret mode)."""
@@ -163,6 +166,26 @@ def test_fused_applicable_rejects_other_channel_widths():
     assert len(heads) >= 1
 
 
+def test_apply_explicit_fused_stem_guarded_on_multidevice():
+    """An EXPLICIT fused_stem=True without a mesh on a >1-device host
+    (this suite runs on 8 virtual devices) must fall back to the XLA
+    walk like the auto-default does — GSPMD would otherwise treat the
+    opaque pallas_call as replicated and silently gather a sharded
+    batch. Same inputs, same heads, no pallas attempted."""
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu import models as M
+
+    assert jax.device_count() > 1
+    net = M.build_network(M.yolov3_blocks(width=64, height=64))
+    params = M.fold_bn(net, M.init_params(net, jax.random.PRNGKey(2)))
+    x = jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 3),
+                                                    np.float32))
+    want = M.apply(net, params, x, fused_stem=False)
+    got = M.apply(net, params, x, fused_stem=True)  # guarded -> same path
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+@pytest.mark.slow
 def test_fused_stem_shard_map():
     """The multi-device path: fused_stem under shard_map over a 4-way
     batch-sharded mesh (the wiring darknet.apply(mesh=...) uses) —

@@ -59,6 +59,7 @@ def test_train_step_runs_and_updates(tiny_victim):
 
 
 @pytest.mark.parametrize("recipe", T.LOSS_RECIPES)
+@pytest.mark.slow
 def test_all_loss_recipes_compile(tiny_victim, recipe):
     net, params = tiny_victim
     exp = tiny_exp(loss_recipe=recipe)
@@ -76,6 +77,7 @@ def test_all_loss_recipes_compile(tiny_victim, recipe):
     assert float(jnp.abs(grads).sum()) > 0
 
 
+@pytest.mark.slow
 def test_objective_actually_optimizes(tiny_victim):
     """A few steps of the real objective should reduce the creation loss
     on a fixed batch (sanity: gradients point the right way)."""
@@ -95,6 +97,7 @@ def test_objective_actually_optimizes(tiny_victim):
     assert last < first
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, tiny_victim):
     net, params = tiny_victim
     exp = tiny_exp()
@@ -162,6 +165,7 @@ def test_amsgrad_torch_parity():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_train_two_epochs(tmp_path, tiny_victim):
     net, params = tiny_victim
     exp = tiny_exp(max_epochs=2)
@@ -174,6 +178,7 @@ def test_full_train_two_epochs(tmp_path, tiny_victim):
     assert {"loss", "no_obj", "lr"} <= set(history[0])
 
 
+@pytest.mark.slow
 def test_creation_attack_efficacy(tiny_victim):
     """Optimizing the creation objective through the full stack lowers
     the no-obj loss (raises patch-cell objectness). Random victim
@@ -197,6 +202,7 @@ def test_creation_attack_efficacy(tiny_victim):
         hist[:10].mean(), hist[-10:].mean())
 
 
+@pytest.mark.slow
 def test_padded_final_batch_trains(tiny_victim):
     """A final batch not divisible by the mesh is padded + masked (not
     skipped, the round-1 behavior): both batches train, and loss stats
@@ -218,6 +224,7 @@ def test_padded_final_batch_trains(tiny_victim):
     assert not np.allclose(patch0, np.asarray(trainer.state.patch))
 
 
+@pytest.mark.slow
 def test_pad_weights_zero_influence(tiny_victim):
     """Zero-weighted pad rows must not affect the loss or the patch
     gradient: swapping the pad images for garbage changes nothing."""
@@ -253,6 +260,7 @@ def test_make_mesh_for_batch():
     assert init_distributed() is False  # single host: no-op
 
 
+@pytest.mark.slow
 def test_training_determinism(tiny_victim):
     """Same seed + data => bit-identical patches (explicit-key RNG; the
     reference's global torch RNG cannot guarantee this)."""
@@ -271,6 +279,7 @@ def test_training_determinism(tiny_victim):
     np.testing.assert_array_equal(run(), run())
 
 
+@pytest.mark.slow
 def test_trainer_with_file_loader(tmp_path, tiny_victim):
     """File-backed dataset -> BatchLoader -> trainer epoch (the real
     data path, not synthetic)."""
@@ -298,6 +307,7 @@ def test_trainer_with_file_loader(tmp_path, tiny_victim):
     assert np.isfinite(stats["loss"])
 
 
+@pytest.mark.slow
 def test_partial_batch_smaller_than_pad(tiny_victim):
     """A partial batch smaller than the needed padding (3 real, 5 pad)
     tiles its samples to fill — never skipped, never crashes."""

@@ -1,12 +1,11 @@
 #!/usr/bin/env python
-"""Generate the reference-parity golden fixture (tests/fixtures/refparity).
+"""Generate the reference-parity golden fixtures (tests/fixtures/).
 
 Runs the PUBLIC reference implementation at /root/reference (read-only,
-executed — never copied) on CPU torch to produce:
+executed — never copied) on CPU torch to produce, per fixture scale:
 
-  mini_yolov3_dota.cfg      - a 14-block mini YOLOv3 (3 heads at strides
-                              32/16/8, 15 DOTA classes, 320^2 input)
-  mini_yolov3_dota.weights  - darknet binary checkpoint written by the
+  <name>.cfg                - darknet cfg of the victim
+  <name>.weights            - darknet binary checkpoint written by the
                               reference's own Darknet.save_darknet_weights
                               (darknet_v3.py:283), after deterministic
                               torch training on synthetic box scenes (so
@@ -16,39 +15,58 @@ executed — never copied) on CPU torch to produce:
   golden_boxes.json         - reference utils.do_detect (utils.py:450-519)
                               outputs on each tile at (conf 0.4, nms 0.4)
                               and (conf 0.01, nms 0.4), incl. the
-                              get_anchors group-reversal quirk
+                              get_anchors group-reversal quirk, plus the
+                              pre-NMS candidate set at conf 0.01
 
-The committed artifacts let tests/test_refparity.py pin our full
+Two scales:
+
+  default (mini):   14-block mini YOLOv3, 320^2 — small enough to commit
+                    whole (tests/fixtures/refparity).
+  --full:           the ARCHITECTURE OF RECORD — the real 75-conv
+                    yolov3-dota graph (cfg serialized by OUR
+                    write_darknet_cfg from yolov3_blocks(), parsed by the
+                    reference's own cfg parser — which cross-validates
+                    the writer), trained at 320^2 input (the network is
+                    fully convolutional and BN statistics are
+                    per-channel, so the 608^2 detection behavior is
+                    well-defined), goldens generated at the reference's
+                    608^2 input of record
+                    (tests/fixtures/refparity_full). The ~246 MB
+                    weights file is NOT committed (gitignored); tests
+                    skip when absent and this tool regenerates it
+                    deterministically.
+
+The committed artifacts let tests/test_refparity*.py pin our full
 load -> forward -> decode -> NMS chain against the reference's box
 outputs within 1e-3 WITHOUT needing /root/reference or torch at test
-time. Regenerate with:  python tools/make_refparity_fixture.py
+time. Regenerate with:
+    python tools/make_refparity_fixture.py [--full] [--reuse-weights]
 """
+import argparse
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "tests", "fixtures", "refparity")
 REF = "/root/reference"
 
-IMG = 320
-STRIDES = (32, 16, 8)
 NUM_CLASSES = 15
-STEPS = 800  # enough to push background obj well below the 0.01 sweep
-BATCH = 8
+STRIDES = (32, 16, 8)
 
 # Mini YOLOv3: same structural vocabulary as cfg/yolov3-dota.cfg (conv
 # bn/leaky, stride-2 downsamples, linear no-BN head convs, route, yolo
 # with the dota anchor list), 3 heads emitted in stride order 32/16/8.
+MINI_IMG = 320
 ANCHORS = ("15, 31,  19, 12,  28, 40,  48, 24,  37, 63,  76, 42,"
            "  62,109,  140, 80,  209,169")
 MINI_CFG = f"""[net]
-batch={BATCH}
+batch=8
 subdivisions=1
-width={IMG}
-height={IMG}
+width={MINI_IMG}
+height={MINI_IMG}
 channels=3
 momentum=0.9
 decay=0.0005
@@ -162,37 +180,38 @@ classes=15
 num=9
 """
 
+
 # deterministic 15-color class palette (visually distinct-ish)
 def _palette(rng):
     return rng.integers(30, 226, size=(NUM_CLASSES, 3))
 
 
-def make_scene(rng, palette):
-    """320^2 uint8 scene: noisy gray background + colored rectangles.
+def make_scene(rng, palette, img=MINI_IMG):
+    """img^2 uint8 scene: noisy gray background + colored rectangles.
     Returns (img_u8, boxes) with boxes = [(cx, cy, w, h, cls), ...] px."""
-    img = np.full((IMG, IMG, 3), 127, np.float32)
-    img += rng.normal(0, 3, size=(IMG, IMG, 1))  # luma noise
-    img += rng.uniform(-12, 12)                  # global brightness
+    arr = np.full((img, img, 3), 127, np.float32)
+    arr += rng.normal(0, 3, size=(img, img, 1))  # luma noise
+    arr += rng.uniform(-12, 12)                  # global brightness
     boxes = []
     for _ in range(int(rng.integers(1, 4))):
         w = float(np.exp(rng.uniform(np.log(12), np.log(180))))
         h = float(np.exp(rng.uniform(np.log(12), np.log(180))))
-        cx = float(rng.uniform(w / 2 + 2, IMG - w / 2 - 2))
-        cy = float(rng.uniform(h / 2 + 2, IMG - h / 2 - 2))
+        cx = float(rng.uniform(w / 2 + 2, img - w / 2 - 2))
+        cy = float(rng.uniform(h / 2 + 2, img - h / 2 - 2))
         cls = int(rng.integers(0, NUM_CLASSES))
         x0, x1 = int(cx - w / 2), int(cx + w / 2)
         y0, y1 = int(cy - h / 2), int(cy + h / 2)
-        img[y0:y1, x0:x1] = palette[cls] + rng.normal(0, 2)
+        arr[y0:y1, x0:x1] = palette[cls] + rng.normal(0, 2)
         boxes.append((cx, cy, w, h, cls))
-    return np.clip(img, 0, 255).astype(np.uint8), boxes
+    return np.clip(arr, 0, 255).astype(np.uint8), boxes
 
 
-def build_targets(torch, boxes_batch, anchors_groups):
+def build_targets(torch, boxes_batch, anchors_groups, img, batch):
     """Simplified YOLO targets on the raw heads: per box, the single
     best (scale, anchor) cell gets obj=1 + class + box-coord targets
     (decode math of reference utils.get_region_boxes:125-245)."""
-    grids = [IMG // s for s in STRIDES]
-    obj_t = [torch.zeros(BATCH, 3, g, g) for g in grids]
+    grids = [img // s for s in STRIDES]
+    obj_t = [torch.zeros(batch, 3, g, g) for g in grids]
     pos = [[] for _ in STRIDES]  # (b, a, gy, gx, fx, fy, tw, th, cls)
     for b, boxes in enumerate(boxes_batch):
         for (cx, cy, w, h, cls) in boxes:
@@ -215,10 +234,104 @@ def build_targets(torch, boxes_batch, anchors_groups):
     return obj_t, pos
 
 
+def train_victim(torch, model, anchors_groups, rng, palette, *,
+                 steps, batch, img):
+    """Deterministic torch training so weights + BN running stats carry
+    trained statistics (kills the random-init exp-overflow regime that
+    saturates the conf-0.01 sweep)."""
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    bce = torch.nn.BCEWithLogitsLoss(pos_weight=torch.tensor(30.0))
+    ce = torch.nn.CrossEntropyLoss()
+    model.train()
+    t_start = time.time()
+    for step in range(steps):
+        imgs, boxes_batch = [], []
+        for _ in range(batch):
+            scene, boxes = make_scene(rng, palette, img)
+            imgs.append(scene.astype(np.float32) / 255.0)
+            boxes_batch.append(boxes)
+        x = torch.from_numpy(
+            np.stack(imgs).transpose(0, 3, 1, 2)).contiguous()
+        heads = model(x)  # [B,60,S,S] x3, raw
+        obj_t, pos = build_targets(torch, boxes_batch, anchors_groups,
+                                   img, batch)
+        loss = 0.0
+        for i, head in enumerate(heads):
+            g = head.shape[-1]
+            h5 = head.view(batch, 3, 20, g, g)
+            loss = loss + bce(h5[:, :, 4], obj_t[i])
+            if pos[i]:
+                bs, as_, gys, gxs, fxs, fys, tws, ths, cls = map(
+                    list, zip(*pos[i]))
+                sel = h5[bs, as_, :, gys, gxs]  # [P, 20]
+                fx = torch.tensor(fxs, dtype=torch.float32)
+                fy = torch.tensor(fys, dtype=torch.float32)
+                tw = torch.tensor(tws, dtype=torch.float32)
+                th = torch.tensor(ths, dtype=torch.float32)
+                loss = loss + ((torch.sigmoid(sel[:, 0]) - fx) ** 2
+                               + (torch.sigmoid(sel[:, 1]) - fy) ** 2
+                               + 0.2 * (sel[:, 2] - tw) ** 2
+                               + 0.2 * (sel[:, 3] - th) ** 2).mean()
+                loss = loss + ce(sel[:, 5:20], torch.tensor(cls))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if step % 10 == 0 or step == steps - 1:
+            dt = time.time() - t_start
+            print(f"step {step}: loss {float(loss):.4f} "
+                  f"({dt / (step + 1):.1f}s/step, {dt / 60:.1f}min "
+                  f"elapsed)", flush=True)
+    model.eval()
+
+
 def main():
-    os.makedirs(OUT, exist_ok=True)
-    with open(os.path.join(OUT, "mini_yolov3_dota.cfg"), "w") as f:
-        f.write(MINI_CFG)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="the real 75-conv yolov3-dota graph, goldens "
+                         "at 608^2 (weights too large to commit)")
+    ap.add_argument("--reuse-weights", action="store_true",
+                    help="skip training, regenerate tiles/goldens only")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--train-batch", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.full:
+        out = os.path.join(REPO, "tests", "fixtures", "refparity_full")
+        name = "yolov3_dota_synth"
+        golden_img = 608
+        train_img = 320  # fully-conv net: input size is a training knob
+        steps = args.steps if args.steps is not None else 240
+        batch = args.train_batch if args.train_batch is not None else 2
+    else:
+        out = os.path.join(REPO, "tests", "fixtures", "refparity")
+        name = "mini_yolov3_dota"
+        golden_img = MINI_IMG
+        train_img = MINI_IMG
+        steps = args.steps if args.steps is not None else 800
+        batch = args.train_batch if args.train_batch is not None else 8
+
+    os.makedirs(out, exist_ok=True)
+    cfg_path = os.path.join(out, f"{name}.cfg")
+    if args.full:
+        # Serialize the architecture of record from OUR programmatic
+        # spec through OUR writer, then hand it to the REFERENCE's
+        # parser/model below — a writer<->reference-parser cross-check
+        # on the real graph, and the committed cfg is our own artifact.
+        sys.path.insert(0, REPO)
+        from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu import models as M
+        blocks = M.yolov3_blocks(width=golden_img, height=golden_img)
+        for blk in blocks:
+            # the reference's weight save/load truth-tests the RAW
+            # batch_normalize string ("0" is truthy, darknet_v3.py:245,
+            # 297) — non-BN convs must OMIT the line and rely on the
+            # parsers' int-0 default (reference cfg.py:50, our
+            # parse_darknet_cfg), exactly like the real yolov3-dota.cfg
+            if blk.get("batch_normalize") == "0":
+                del blk["batch_normalize"]
+        M.write_darknet_cfg(blocks, cfg_path)
+    else:
+        with open(cfg_path, "w") as f:
+            f.write(MINI_CFG)
 
     sys.path.insert(0, REF)
     os.chdir(REF)  # utils.do_detect reads data/... relative paths
@@ -240,63 +353,34 @@ def main():
     rng = np.random.default_rng(0)
     palette = _palette(np.random.default_rng(7))
 
-    model = Darknet(os.path.join(OUT, "mini_yolov3_dota.cfg"))
-    assert model.height == IMG
+    model = Darknet(cfg_path)
+    assert model.height == golden_img
+    n_params = sum(p.numel() for p in model.parameters())
+    print(f"victim: {name} ({n_params / 1e6:.2f}M params, "
+          f"goldens @ {golden_img}^2, train @ {train_img}^2)", flush=True)
+    if args.full:
+        assert abs(n_params - 61.65e6) < 0.2e6, n_params  # graph of record
     anchors_groups = get_anchors("data/yolov3_anchors.txt")  # quirk incl.
 
-    weights_path = os.path.join(OUT, "mini_yolov3_dota.weights")
-    if "--reuse-weights" in sys.argv and os.path.exists(weights_path):
+    weights_path = os.path.join(out, f"{name}.weights")
+    if args.reuse_weights and os.path.exists(weights_path):
         # resume: the reference 0.01-conf sweep (python NMS) dominates
         # runtime; don't redo the training when iterating on tiles
         model.load_darknet_weights(weights_path)
         model.eval()
-        return finish(model, do_detect, _palette(np.random.default_rng(7)))
+        return finish(model, do_detect, palette, out, golden_img)
 
-    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
-    bce = torch.nn.BCEWithLogitsLoss(pos_weight=torch.tensor(30.0))
-    ce = torch.nn.CrossEntropyLoss()
-    model.train()
-    for step in range(STEPS):
-        imgs, boxes_batch = [], []
-        for _ in range(BATCH):
-            img, boxes = make_scene(rng, palette)
-            imgs.append(img.astype(np.float32) / 255.0)
-            boxes_batch.append(boxes)
-        x = torch.from_numpy(
-            np.stack(imgs).transpose(0, 3, 1, 2)).contiguous()
-        heads = model(x)  # [B,60,S,S] x3, raw
-        obj_t, pos = build_targets(torch, boxes_batch, anchors_groups)
-        loss = 0.0
-        for i, head in enumerate(heads):
-            g = head.shape[-1]
-            h5 = head.view(BATCH, 3, 20, g, g)
-            loss = loss + bce(h5[:, :, 4], obj_t[i])
-            if pos[i]:
-                bs, as_, gys, gxs, fxs, fys, tws, ths, cls = map(
-                    list, zip(*pos[i]))
-                sel = h5[bs, as_, :, gys, gxs]  # [P, 20]
-                fx = torch.tensor(fxs, dtype=torch.float32)
-                fy = torch.tensor(fys, dtype=torch.float32)
-                tw = torch.tensor(tws, dtype=torch.float32)
-                th = torch.tensor(ths, dtype=torch.float32)
-                loss = loss + ((torch.sigmoid(sel[:, 0]) - fx) ** 2
-                               + (torch.sigmoid(sel[:, 1]) - fy) ** 2
-                               + 0.2 * (sel[:, 2] - tw) ** 2
-                               + 0.2 * (sel[:, 3] - th) ** 2).mean()
-                loss = loss + ce(sel[:, 5:20], torch.tensor(cls))
-        opt.zero_grad()
-        loss.backward()
-        opt.step()
-        if step % 50 == 0:
-            print(f"step {step}: loss {float(loss):.4f}", flush=True)
+    train_victim(torch, model, anchors_groups, rng, palette,
+                 steps=steps, batch=batch, img=train_img)
 
-    model.eval()
     # reference bug: save_darknet_weights reads self.module_defs
     # (darknet_v3.py:293) but __init__ only ever sets self.blocks
     # (darknet_v3.py:184) — alias it so their saver runs as intended
     model.module_defs = model.blocks
-    model.save_darknet_weights(os.path.join(OUT, "mini_yolov3_dota.weights"))
-    finish(model, do_detect, palette)
+    model.save_darknet_weights(weights_path)
+    print(f"saved {weights_path} "
+          f"({os.path.getsize(weights_path) / 1e6:.0f} MB)", flush=True)
+    finish(model, do_detect, palette, out, golden_img)
 
 
 def prenms_boxes(model, pil, conf):
@@ -326,11 +410,11 @@ def prenms_boxes(model, pil, conf):
     return rows
 
 
-def finish(model, do_detect, palette):
+def finish(model, do_detect, palette, out, img):
     """Golden tiles + reference do_detect sweeps, written incrementally
     (the reference's pure-python conf-0.01 NMS takes minutes per tile)."""
     from PIL import Image
-    json_path = os.path.join(OUT, "golden_boxes.json")
+    json_path = os.path.join(out, "golden_boxes.json")
     golden = {}
     if os.path.exists(json_path):
         with open(json_path) as f:
@@ -338,14 +422,14 @@ def finish(model, do_detect, palette):
 
     def save():
         with open(json_path, "w") as f:
-            json.dump({"img_size": IMG, "num_classes": NUM_CLASSES,
+            json.dump({"img_size": img, "num_classes": NUM_CLASSES,
                        "nms_thresh": 0.4, "tiles": golden}, f, indent=1)
 
     grng = np.random.default_rng(1234)
     for t in range(3):
-        img_u8, _ = make_scene(grng, palette)  # rng stream fixed per t
+        img_u8, _ = make_scene(grng, palette, img)  # rng stream per t
         name = f"tile_{t}.png"
-        png = os.path.join(OUT, name)
+        png = os.path.join(out, name)
         if not os.path.exists(png):
             Image.fromarray(img_u8).save(png)
         pil = Image.open(png).convert("RGB")
@@ -362,7 +446,7 @@ def finish(model, do_detect, palette):
             entry[key] = [[float(v) for v in b] for b in boxes]
             print(f"{name} {key}: {len(boxes)} boxes", flush=True)
             save()
-    print("fixture written to", OUT)
+    print("fixture written to", out)
 
 
 if __name__ == "__main__":
