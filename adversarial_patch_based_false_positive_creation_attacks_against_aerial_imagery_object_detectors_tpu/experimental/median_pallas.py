@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .median_pool import _same_pad_amounts
+from ..ops.median_pool import _same_pad_amounts
 
 
 def _median_kernel(win_ref, out_ref, *, n: int, oh: int, ow: int):

@@ -27,7 +27,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from .darknet import ConvSpec, _activate
+from ..models.darknet import ConvSpec, _activate
 
 
 def _space_to_depth(x: jnp.ndarray) -> jnp.ndarray:

@@ -44,8 +44,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .planar_conv import _round_up
-from .stem_fused import (LEAKY, _PIECES_E, _PIECES_O, _blkw, _flip_t,
+from ..ops.planar_conv import _round_up
+from ..ops.stem_fused import (LEAKY, _PIECES_E, _PIECES_O, _blkw, _flip_t,
                          _leaky_f32, _mask_of, _pad_cin, _pad_cout,
                          _w0_pair, _w0t_pair, _w1_pair, _w1dx_pair,
                          _w3_pair, _w3t_pair)

@@ -279,7 +279,7 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
     NCHW.
 
     ``packed_stem`` evaluates the first two convs via an exact
-    space-to-depth rewrite (models/stem.py) when applicable. Measured on
+    space-to-depth rewrite (experimental/packed_stem.py) when applicable. Measured on
     v5e it is slightly *slower* than XLA's native handling of the
     3-channel stem (14.7 vs 13.4 ms fwd at batch 8), so it defaults off;
     it is kept as a validated option for hardware where small-channel
@@ -371,7 +371,7 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
             outputs[5] = prev
             start = 6
     if start == 0 and packed_stem and "b" in params.get("conv_0", {}):
-        from .stem import packed_stem_apply, stem_applicable
+        from ..experimental.packed_stem import packed_stem_apply, stem_applicable
         if stem_applicable(net):
             prev = packed_stem_apply(
                 x, net.layers[0].conv, params["conv_0"],

@@ -8,4 +8,3 @@ from .affine import (
 from .decode import decode_head, decode_all_heads, head_cell_scores
 from .nms import (iou_xywh_matrix, greedy_nms_host, greedy_nms_device,
     merge_nms_host)
-from .median_pallas import median_pool_2d_pallas

@@ -363,7 +363,7 @@ def test_describe_network():
 
 def test_packed_stem_exactness(rng):
     """Space-to-depth stem == plain first-two-conv evaluation."""
-    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.models.stem import (
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.experimental.packed_stem import (
         packed_stem_apply, stem_applicable)
     blocks = M.yolov3_blocks(width=64, height=64)
     net = M.build_network(blocks)

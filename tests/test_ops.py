@@ -343,10 +343,11 @@ def test_merge_nms_host(rng):
 
 def test_median_pool_pallas_interpret(rng):
     """Pallas rank-selection median == sort median (interpret mode on
-    CPU; compiled path validated on TPU — see ops/median_pallas.py)."""
+    CPU; compiled path validated on TPU — see experimental/median_pallas.py)."""
     x = rng.random((3, 20, 24)).astype(np.float32)
     x[:, 4:9, 6:11] = 0.5  # ties
     for k in (3, 7):
-        got = ops.median_pool_2d_pallas(jnp.asarray(x), k, interpret=True)
+        from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.experimental.median_pallas import median_pool_2d_pallas
+        got = median_pool_2d_pallas(jnp.asarray(x), k, interpret=True)
         want = ops.median_pool_2d(jnp.asarray(x), k, 1)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

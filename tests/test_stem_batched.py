@@ -1,4 +1,4 @@
-"""Parity tests for the batch-on-lanes fused stem (ops/stem_batched.py)
+"""Parity tests for the batch-on-lanes fused stem (experimental/stem_batched.py)
 against an XLA NHWC oracle, in Pallas interpret mode on CPU.
 
 The module is a kept-but-not-default experiment: on v5e the kernel ran
@@ -16,7 +16,7 @@ import pytest
 pytestmark = pytest.mark.slow  # >60s on one CPU core
 from jax import lax
 
-from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.ops import (
+from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.experimental import (
     stem_batched as SB)
 from tests.test_stem_fused import make_sp, sign_safe_mask, xla_stem
 
