@@ -227,11 +227,20 @@ def _conv_layer(x: jnp.ndarray, spec: ConvSpec, p: Dict[str, jnp.ndarray],
     # internally, and mixed in/out dtypes break the transpose (backward)
     # conv. Activations stay in compute_dtype end to end; heads are cast
     # to fp32 at collection.
+    #
+    # Precision: at f32 the MXU's DEFAULT conv precision is a bf16
+    # multi-pass that deviates from true f32 by >1e-3 over 75 chained
+    # convs (measured: 356/1415 golden boxes off at conf 0.01 on v5e vs
+    # 25 on CPU). f32 is the reference-parity/eval path, so it pays for
+    # HIGHEST; bf16 (the training/serving compute dtype) keeps DEFAULT.
+    precision = (jax.lax.Precision.HIGHEST
+                 if compute_dtype == jnp.float32 else None)
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype), w,
         window_strides=(spec.stride, spec.stride),
         padding=[(spec.pad, spec.pad), (spec.pad, spec.pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
     )
     if "gamma" in p:  # unfolded BN (eval-mode affine)
         s = p["gamma"] / jnp.sqrt(p["var"] + BN_EPS)

@@ -33,9 +33,16 @@ victim-coupled components (no_obj, no_cls) share scale by
 construction (no_obj <= 4 by definition, no_cls is CE over 15
 classes) but depend on the detector's statistics.
 
-Usage: python tools/convergence_compare.py [epochs] [n_scenes]
+``--full`` runs the same protocol on the ARCHITECTURE OF RECORD — the
+full-scale refparity victim (75-conv yolov3-dota graph, 608^2 tiles,
+patch 224, the reference's exact input/patch geometry) from
+tests/fixtures/refparity_full (regenerate with
+``tools/make_refparity_fixture.py --full`` if absent).
+
+Usage: python tools/convergence_compare.py [epochs] [n_scenes] [--full]
 """
 
+import argparse
 import importlib.util
 import json
 import os
@@ -45,11 +52,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-FIX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "tests", "fixtures", "refparity")
+_ap = argparse.ArgumentParser()
+_ap.add_argument("epochs", nargs="?", type=int, default=20)
+_ap.add_argument("n_scenes", nargs="?", type=int, default=96)
+_ap.add_argument("--full", action="store_true",
+                 help="full-scale victim (refparity_full, 608^2, "
+                      "patch 224)")
+_ARGS = _ap.parse_args()
 
-EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-N_SCENES = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+_FIXROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures")
+FIX = os.path.join(_FIXROOT,
+                   "refparity_full" if _ARGS.full else "refparity")
+VICTIM = "yolov3_dota_synth" if _ARGS.full else "mini_yolov3_dota"
+
+EPOCHS = _ARGS.epochs
+N_SCENES = _ARGS.n_scenes
 MAX_LAB = 32
 
 REF_EPOCH0 = {"loss": 7.139, "no_obj": 3.964, "no_cls": 2.684,
@@ -73,12 +92,17 @@ def main():
     from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.train import (
         PatchTrainer, get_experiment)
 
-    net = darknet.network_from_cfg(
-        os.path.join(FIX, "mini_yolov3_dota.cfg"))
-    params, _ = load_darknet_weights(
-        net, os.path.join(FIX, "mini_yolov3_dota.weights"))
+    weights_path = os.path.join(FIX, f"{VICTIM}.weights")
+    if not os.path.exists(weights_path):
+        sys.exit(f"{weights_path} missing — regenerate with "
+                 f"tools/make_refparity_fixture.py"
+                 f"{' --full' if _ARGS.full else ''}")
+    net = darknet.network_from_cfg(os.path.join(FIX, f"{VICTIM}.cfg"))
+    params, _ = load_darknet_weights(net, weights_path)
     params = darknet.fold_bn(net, params)
-    img = net.width
+    # the full-scale victim trains at 320^2 but its cfg/goldens/record
+    # geometry is 608^2 (fully-convolutional net)
+    img = 608 if _ARGS.full else net.width
 
     # -- victim-pseudo-labeled training set (images_filter protocol)
     gen = _load_fixture_gen()
@@ -90,7 +114,7 @@ def main():
     while len(images) < N_SCENES and tried < 4 * N_SCENES:
         batch = []
         for _ in range(16):
-            scene, _ = gen.make_scene(rng, palette)
+            scene, _ = gen.make_scene(rng, palette, img=img)
             batch.append(scene.astype(np.float32) / 255.0)
             tried += 1
         dets = det.detect_batch(np.stack(batch), 0.01, 0.4)
@@ -111,10 +135,13 @@ def main():
     labels = np.stack(labels[:N_SCENES])
     print(f"trainset: {len(images)} scenes "
           f"({(labels[:, :, 0] != 1e-6).sum()} pseudo-label rows), "
-          f"victim={os.path.basename(FIX)} mini @ {img}^2", flush=True)
+          f"victim={os.path.basename(FIX)} @ {img}^2", flush=True)
 
+    # patch 224 @ 608^2 is the reference's geometry of record
+    # (patch_config.py:23); the mini victim scales both by ~half
     exp = get_experiment(
-        "paper_obj", img_size=img, patch_size=112, max_labels=MAX_LAB,
+        "paper_obj", img_size=img,
+        patch_size=224 if _ARGS.full else 112, max_labels=MAX_LAB,
         compute_dtype="bfloat16", max_epochs=EPOCHS)
     trainer = PatchTrainer(exp, net=net, params=params, seed=0)
 
@@ -141,12 +168,14 @@ def main():
             continue
         print(f"| {st['epoch']} | "
               + " | ".join(f"{st[c]:.3g}" for c in cols) + " |")
+    scale = "full" if _ARGS.full else "mini"
     out = {"reference_epoch0": ref,
-           "mini": [{k: st[k] for k in cols + ("epoch",)}
-                    for st in history]}
-    with open("/tmp/convergence_compare.json", "w") as f:
+           scale: [{k: st[k] for k in cols + ("epoch",)}
+                   for st in history]}
+    path = f"/tmp/convergence_compare_{scale}.json"
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print("\nwrote /tmp/convergence_compare.json")
+    print(f"\nwrote {path}")
 
 
 if __name__ == "__main__":
