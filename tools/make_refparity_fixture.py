@@ -439,7 +439,11 @@ def finish(model, do_detect, palette, out, img):
             entry["prenms001"] = rows
             print(f"{name} prenms001: {len(rows)} boxes", flush=True)
             save()
-        for key, conf in (("conf04", 0.4), ("conf001", 0.01)):
+        # conf02: a mid-confidence sweep so the sparse exact-match test
+        # stays non-trivial on weakly-trained full-scale victims whose
+        # conf04 set is empty (600 CPU steps don't reach 0.4 responses)
+        for key, conf in (("conf04", 0.4), ("conf02", 0.2),
+                          ("conf001", 0.01)):
             if key in entry:
                 continue
             boxes = do_detect(model, pil, conf, 0.4, use_cuda=0)
