@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +66,13 @@ class EOTConfig:
     size_cols: Tuple[int, int] = (2, 3)  # reference behavior; (3,4) = w,h
     center_clamp: Tuple[float, float] = (0.2, 0.8)
     warp_method: str = "mxu"             # "mxu" | "gather" (see warp_patch)
+    # dtype of the geometric half (warp matmuls + canvas-size temps +
+    # composite). None keeps the patch dtype (f32 — exact eval paths);
+    # "bfloat16" halves the step's 608^2-canvas HBM traffic and is what
+    # the detector consumes anyway. Interpolation-matrix ARGUMENTS are
+    # always computed in f32 (bf16 cannot index 608 pixel positions);
+    # only the hat weights / pixel values are stored narrow.
+    warp_dtype: Optional[str] = None
 
 
 def select_reference_box(labels: jnp.ndarray) -> jnp.ndarray:
@@ -184,6 +191,8 @@ def transform_patch(patch: jnp.ndarray, labels: jnp.ndarray, key: jax.Array,
     else:
         angle = jnp.zeros((b,))
 
+    if cfg.warp_dtype is not None:
+        batch_patch = batch_patch.astype(jnp.dtype(cfg.warp_dtype))
     adv, mask = warp_patch(batch_patch, angle, scale, tx, ty, s,
                            method=cfg.warp_method)
     return adv, mask, centers
@@ -191,8 +200,11 @@ def transform_patch(patch: jnp.ndarray, labels: jnp.ndarray, key: jax.Array,
 
 def paste_patch(images: jnp.ndarray, adv: jnp.ndarray) -> jnp.ndarray:
     """Composite: exact-zero adv pixels are transparent (the reference's
-    ``torch.where(adv == 0, img, adv)`` contract, load_data.py:820)."""
-    return jnp.where(adv == 0.0, images, adv)
+    ``torch.where(adv == 0, img, adv)`` contract, load_data.py:820).
+    Runs in ``adv``'s dtype: under a narrow ``warp_dtype`` the composite
+    and everything downstream (the detector consumes bf16 anyway) stay
+    narrow instead of re-widening the 608^2 canvas."""
+    return jnp.where(adv == 0.0, images.astype(adv.dtype), adv)
 
 
 def apply_eot_patch(patch: jnp.ndarray, images: jnp.ndarray,

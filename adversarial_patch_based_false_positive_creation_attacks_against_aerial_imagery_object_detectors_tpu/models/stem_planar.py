@@ -111,15 +111,17 @@ def _pad_cout(w, m=8):
 
 @jax.custom_vjp
 def planar_stem(x, sp):
-    """NHWC [B,H,W,3] -> NHWC [B,H/4,W/4,128] via the planar kernels.
-    ``sp``: list of (w_hwio, bias) for convs 0,1,2,3,5 (BN-folded)."""
+    """NHWC [B,H,W,3] -> NHWC [B,H/4,W/4,cout] via the planar kernels.
+    ``sp``: list of (w_hwio, bias) for convs 0,1,2,3,5 (BN-folded).
+    ``cout`` comes from conv 5's weights (128 on yolov3-dota;
+    stem_applicable admits any channel ladder of the same geometry)."""
     _, _, _, _, y5 = _forward(x, sp)
-    return from_planar_auto(y5, x.shape[1] // 4, 128)
+    return from_planar_auto(y5, x.shape[1] // 4, sp[-1][0].shape[-1])
 
 
 def _stem_fwd(x, sp):
     y0, y1, y2, y3, y5 = _forward(x, sp)
-    out = from_planar_auto(y5, x.shape[1] // 4, 128)
+    out = from_planar_auto(y5, x.shape[1] // 4, sp[-1][0].shape[-1])
     return out, (x, sp, y0, y1, y2, y3, y5)
 
 

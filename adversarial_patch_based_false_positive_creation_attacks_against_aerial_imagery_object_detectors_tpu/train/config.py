@@ -66,6 +66,11 @@ class ExperimentConfig:
     do_rotate: bool = True
     photometric: bool = True
     warp_method: str = "mxu"             # "mxu" | "gather" (exact)
+    # dtype of the EOT's geometric half (warp + composite):
+    # "compute" follows compute_dtype (the detector consumes it anyway;
+    # halves the 608^2-canvas HBM traffic), "float32" keeps the exact
+    # widths of the reference
+    warp_dtype: str = "compute"
     # runtime
     compute_dtype: str = "bfloat16"      # detector conv dtype on TPU
     checkpoint_every: int = 20           # epochs (reference: patch PNG)

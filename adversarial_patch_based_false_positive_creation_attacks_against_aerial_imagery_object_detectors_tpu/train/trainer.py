@@ -111,11 +111,15 @@ def init_patch(exp: ExperimentConfig, key: jax.Array,
 
 def make_loss_fn(net: darknet.Network, exp: ExperimentConfig,
                  printable_colors: np.ndarray, mesh=None) -> Callable:
+    warp_dtype = (exp.compute_dtype if exp.warp_dtype == "compute"
+                  else exp.warp_dtype)
     eot_cfg = EOTConfig(img_size=exp.img_size,
                         scale_factor=exp.scale_factor,
                         do_rotate=exp.do_rotate,
                         photometric=exp.photometric,
-                        warp_method=exp.warp_method)
+                        warp_method=exp.warp_method,
+                        warp_dtype=(None if warp_dtype == "float32"
+                                    else warp_dtype))
     compute_dtype = (jnp.bfloat16 if exp.compute_dtype == "bfloat16"
                      else jnp.float32)
     colors = jnp.asarray(printable_colors)

@@ -261,6 +261,38 @@ def test_transform_patch_end_to_end_shapes():
     assert float(jnp.abs(g).sum()) > 0
 
 
+def test_transform_patch_warp_dtype_bf16():
+    """warp_dtype='bfloat16' runs the geometric half narrow: adv/mask
+    come back bf16, the composite keeps exact-zero transparency, the
+    result stays near the f32 path, and the patch gradient is f32."""
+    patch = jnp.full((16, 16, 3), 0.5)
+    labels = jnp.ones((2, 3, 5)) * 1e-6
+    labels = labels.at[:, 0].set(jnp.asarray([0.0, 0.5, 0.5, 0.3, 0.3]))
+    key = jax.random.PRNGKey(0)
+    cfg16 = attack.EOTConfig(img_size=64, warp_dtype="bfloat16")
+    cfg32 = attack.EOTConfig(img_size=64)
+    adv16, mask16, _ = attack.transform_patch(patch, labels, key, cfg16)
+    adv32, _, _ = attack.transform_patch(patch, labels, key, cfg32)
+    assert adv16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(adv16, np.float32), np.asarray(adv32), atol=8e-3)
+    # composite: bf16 adv pastes onto f32 images in bf16, zeros exact
+    imgs = jnp.full((2, 64, 64, 3), 0.3, jnp.float32)
+    out = attack.paste_patch(imgs, adv16)
+    assert out.dtype == jnp.bfloat16
+    bg = np.asarray(adv16, np.float32) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32)[bg], 0.30078125)  # 0.3 in bf16
+
+    def loss(p):
+        a, _, _ = attack.transform_patch(p, labels, key, cfg16)
+        return jnp.sum(a.astype(jnp.float32) ** 2)
+    g = jax.grad(loss)(patch)
+    assert g.dtype == jnp.float32
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
 def test_warp_places_patch_center_at_target():
     """Property: angle 0, scale s places the patch center pixel block at
     the normalized target center (both warp methods)."""

@@ -420,3 +420,31 @@ def test_yolov3_structural_golden():
         + (4 * s.filters if s.bn else s.filters)
         for s in M.conv_specs(net))
     assert total == 61651732
+
+
+@pytest.mark.slow  # interpret-mode planar chain, ~60s on one core
+def test_planar_stem_non_yolov3_channels(rng, monkeypatch):
+    """Regression: stem_applicable admits any channel ladder with the
+    right geometry (tiny_test_blocks: cout 32, not yolov3's 128), but
+    planar_stem once hardcoded cout=128 at the output boundary — on the
+    MXU-layout path that crashed the kernel (observed in
+    tools/warp_dtype_ab.py on TPU), on the jnp path it silently sliced.
+    The planar stem must equal the plain conv walk for such nets."""
+    import functools
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.models import (
+        stem_planar)
+    monkeypatch.setattr(stem_planar, "_forward",
+                        functools.partial(stem_planar._forward,
+                                          interpret=True))
+    net = M.build_network(M.tiny_test_blocks(width=64, height=64))
+    params = M.fold_bn(net, M.init_params(net, jax.random.PRNGKey(3)))
+    assert stem_planar.stem_applicable(net, params, (2, 64, 64, 3))
+    x = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    want = M.apply(net, params, x, jnp.float32,
+                   planar_stem=False, fused_stem=False)
+    got = M.apply(net, params, x, jnp.float32,
+                  planar_stem=True, fused_stem=False)
+    for w, g in zip(want, got):
+        assert w.shape == g.shape
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-4, rtol=2e-4)
