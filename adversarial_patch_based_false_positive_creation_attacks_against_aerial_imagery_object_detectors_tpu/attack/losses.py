@@ -85,15 +85,23 @@ def extract_cell_scores(heads: Sequence[jnp.ndarray], centers: jnp.ndarray,
     objs: List[jnp.ndarray] = []
     clss: List[jnp.ndarray] = []
     batch = centers.shape[0]
-    bidx = jnp.arange(batch)
     for head in heads:
         s = head.shape[1]
         stride = img_size // s
         cell = jnp.floor_divide(centers.astype(jnp.int32), stride)  # [B,2]
         cx, cy = cell[:, 0], cell[:, 1]
         row, col = (cx, cy) if swap_xy else (cy, cx)
-        x = head.reshape(batch, s, s, 3, 5 + num_classes)
-        cells = x[bidx, row, col]                   # [B, 3, 5+C]
+        # one-hot contractions instead of x[bidx, row, col]: exact (one
+        # 1.0*x product per output), and the TRANSPOSE is a fusible
+        # broadcast-multiply instead of a scatter-add — the gather form
+        # cost a [B,S,S,3,(5+C)] scatter + 5-D layout copy per step in
+        # the backward (profiled b24: ~0.4 ms copy + scatter fusion).
+        row_oh = (row[:, None] == jnp.arange(s)).astype(head.dtype)
+        col_oh = (col[:, None] == jnp.arange(s)).astype(head.dtype)
+        x = head.reshape(batch, s, s, 3 * (5 + num_classes))
+        cells = jnp.einsum("brf,br->bf",
+                           jnp.einsum("brcf,bc->brf", x, col_oh),
+                           row_oh).reshape(batch, 3, 5 + num_classes)
         scores = jax.nn.sigmoid(cells[..., 4:])     # [B, 3, 1+C]
         objs.append(scores[..., 0])
         clss.append(scores[..., 1:])
