@@ -379,6 +379,29 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
             prev = stem_planar.planar_stem(x.astype(compute_dtype), sp)
             outputs[5] = prev
             start = 6
+    if start == 6:
+        # Optional continuation of the Pallas fast path through the
+        # 152^2 residual stage (layers 6-11, two stride-1 residual
+        # blocks) on the per-layer planar kernels
+        # (models/res_planar.py). Default OFF — measured WORSE than
+        # XLA at b8 608^2 (26.6 vs 23.6 ms/step): the planar rows pad
+        # 152 active lanes to 256 (+68% HBM per inter-layer tensor)
+        # and cin=128 is where XLA's convs are already strong; the
+        # layout-flip-flop savings don't cover that. Kept as a
+        # validated option (ADV_PATCH_RES152=1) and as the oracle-
+        # tested basis for a future whole-stage megakernel (which
+        # would keep intermediates in VMEM and dodge both costs).
+        env = os.environ.get("ADV_PATCH_RES152")
+        res152 = (env == "1" and mesh is None
+                  and jax.device_count() == 1)
+        if res152:
+            from . import res_planar
+            if res_planar.res152_applicable(net, params, x.shape):
+                sp6 = res_planar._stage_params(params, compute_dtype)
+                prev = res_planar.res152_planar(
+                    prev.astype(compute_dtype), sp6)
+                outputs[11] = prev
+                start = 12
     if start == 0 and packed_stem and "b" in params.get("conv_0", {}):
         from ..experimental.packed_stem import packed_stem_apply, stem_applicable
         if stem_applicable(net):
