@@ -23,7 +23,7 @@ import numpy as np
 from ..data.assets import load_anchor_groups
 from ..models import darknet
 from ..ops.decode import decode_all_heads
-from ..ops.nms import greedy_nms_device, greedy_nms_host
+from ..ops.nms import (greedy_nms_device_batch, greedy_nms_host)
 
 MAX_CANDIDATES = 4096  # pre-NMS cap; conf 0.01 sweeps can be wide
 
@@ -99,18 +99,21 @@ class Detector:
             # (reference semantics: utils.py:99,217-219)
             nms_score = jnp.where(obj * cls_conf > conf_thresh, obj, 0.0)
 
-            def one(boxes_i, score_i, obj_i, cc_i, cid_i):
-                # max_det=300 (the reference's merge-NMS cap) keeps the
-                # O(k^2) on-device IoU matrix small (k = 8*max_det)
-                idx, valid = greedy_nms_device(
-                    boxes_i, score_i, nms_thresh, max_det=300)
-                row = jnp.concatenate([
-                    boxes_i[idx], obj_i[idx, None], cc_i[idx, None],
-                    cid_i[idx, None]], axis=1)
-                return jnp.where(valid[:, None], row, 0.0), valid
+            # max_det=300 (the reference's merge-NMS cap) keeps the
+            # O(k^2) on-device IoU matrix small (k = 8*max_det). The
+            # batched entry point keeps the rare serial-fallback cond
+            # OUTSIDE the vmap (a vmapped cond executes both branches).
+            idx, valid = greedy_nms_device_batch(
+                boxes, nms_score, nms_thresh, max_det=300)
 
-            dets, valid = jax.vmap(one)(boxes, nms_score, obj, cls_conf,
-                                        cls_id)
+            def gather_rows(boxes_i, obj_i, cc_i, cid_i, idx_i, valid_i):
+                row = jnp.concatenate([
+                    boxes_i[idx_i], obj_i[idx_i, None], cc_i[idx_i, None],
+                    cid_i[idx_i, None]], axis=1)
+                return jnp.where(valid_i[:, None], row, 0.0)
+
+            dets = jax.vmap(gather_rows)(boxes, obj, cls_conf, cls_id,
+                                         idx, valid)
             return dets, valid
 
         self._detect_device = _detect_device

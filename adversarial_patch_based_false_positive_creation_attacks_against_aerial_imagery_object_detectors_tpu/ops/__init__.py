@@ -7,4 +7,5 @@ from .affine import (
 )
 from .decode import decode_head, decode_all_heads, head_cell_scores
 from .nms import (iou_xywh_matrix, greedy_nms_host, greedy_nms_device,
+    greedy_nms_device_batch,
     merge_nms_host)

@@ -12,6 +12,8 @@ Two implementations with identical greedy semantics to the reference
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -120,6 +122,92 @@ def merge_nms_host(boxes: np.ndarray, obj: np.ndarray, cls: np.ndarray,
         cls_id[keep, None].astype(np.float32)], axis=1).astype(np.float32)
 
 
+def _nms_prep(boxes, scores, iou_thresh, max_det):
+    """Top-k prune + suppression matrix. Returns (top_idx, sup_mat,
+    valid) with sup_mat[j, i]: higher-ranked j suppresses i while j is
+    alive."""
+    n = scores.shape[0]
+    k = min(max_det * 8, n)  # prune candidates before the O(k^2) IoU
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    top_boxes = boxes[top_idx]
+    iou = iou_xywh_matrix(top_boxes, top_boxes, xp=jnp)
+    rk = jnp.arange(k)
+    sup_mat = (iou > iou_thresh) & (rk[:, None] < rk[None, :])
+    return top_idx, sup_mat, top_scores > 0
+
+
+def _jacobi_alive(sup_mat, valid, max_passes):
+    """Jacobi iteration toward the greedy fixpoint, capped. Returns
+    (alive, converged)."""
+    def cond(st):
+        a, prev, it = st
+        return jnp.any(a != prev) & (it < max_passes)
+
+    def body(st):
+        a, _, it = st
+        return (valid & ~jnp.any(sup_mat & a[:, None], axis=0), a,
+                it + 1)
+
+    alive, prev_alive, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.zeros_like(valid), 0))
+    return alive, ~jnp.any(alive != prev_alive)
+
+
+def _serial_alive(sup_mat, valid):
+    """Textbook rank-order scan from scratch: if i is alive it kills
+    every lower-ranked overlap; exact by construction."""
+    def step(i, a):
+        return a & ~(sup_mat[i] & a[i])
+    return jax.lax.fori_loop(0, sup_mat.shape[0], step, valid)
+
+
+def _compact(alive, top_idx, max_det):
+    """Survivors to the first max_det slots."""
+    k = top_idx.shape[0]
+    rank = jnp.cumsum(alive) - 1
+    sel = jnp.where(alive, rank, k)
+    out_idx = jnp.zeros((max_det,), dtype=top_idx.dtype)
+    out_valid = jnp.zeros((max_det,), dtype=bool)
+    in_range = (sel < max_det) & alive
+    slot = jnp.where(in_range, sel, max_det)  # max_det drops out of bounds
+    out_idx = out_idx.at[slot].set(top_idx, mode="drop")
+    out_valid = out_valid.at[slot].set(True, mode="drop")
+    return out_idx, out_valid
+
+
+def greedy_nms_device_batch(boxes: jnp.ndarray, scores: jnp.ndarray,
+                            iou_thresh: float, max_det: int):
+    """Batched fixed-size greedy NMS under jit: boxes [B,N,4], scores
+    [B,N] -> (indices [B,max_det], valid [B,max_det]).
+
+    The Jacobi pass runs vmapped; the exact serial fallback for a
+    capped (non-converged) image is decided ONCE at batch level.
+    Putting the ``lax.cond`` inside the vmapped body instead converts
+    it to a ``select`` that executes BOTH branches — the O(k) serial
+    scan then runs unconditionally per image (measured: full-device
+    detect b16 fell from ~600 to ~485 img/s)."""
+    prep = jax.vmap(functools.partial(
+        _nms_prep, iou_thresh=iou_thresh, max_det=max_det))
+    top_idx, sup_mat, valid = prep(boxes, scores)
+    alive, converged = jax.vmap(functools.partial(
+        _jacobi_alive, max_passes=JACOBI_MAX_PASSES))(sup_mat, valid)
+
+    def redo(operands):
+        # recompute the suppression matrices from the raw candidates:
+        # keeping the [B,k,k] sup_mat live ACROSS the cond instead
+        # costs the fast path a real HBM round trip of it (measured
+        # ~3 ms/batch at b16 k=2400); redo is the rare case and can
+        # pay the recompute itself.
+        bx, sc = operands
+        _, sup, val = prep(bx, sc)
+        return jax.vmap(_serial_alive)(sup, val)
+
+    alive = jax.lax.cond(jnp.all(converged), lambda op: alive, redo,
+                         (boxes, scores))
+    return jax.vmap(functools.partial(_compact, max_det=max_det))(
+        alive, top_idx)
+
+
 def greedy_nms_device(boxes: jnp.ndarray, scores: jnp.ndarray,
                       iou_thresh: float, max_det: int):
     """Fixed-size greedy NMS under jit.
@@ -127,16 +215,12 @@ def greedy_nms_device(boxes: jnp.ndarray, scores: jnp.ndarray,
     boxes [N,4], scores [N] (invalid candidates must carry score<=0).
     Returns (indices [max_det], valid [max_det] bool): the top-scoring
     surviving boxes, greedy-suppressed exactly like the host version.
+    Do NOT vmap this over a batch — use ``greedy_nms_device_batch``
+    (vmapping the internal lax.cond turns it into an always-both-
+    branches select; see there).
     """
-    n = scores.shape[0]
-    k = min(max_det * 8, n)  # prune candidates before the O(k^2) IoU
-    top_scores, top_idx = jax.lax.top_k(scores, k)
-    top_boxes = boxes[top_idx]
-    iou = iou_xywh_matrix(top_boxes, top_boxes, xp=jnp)
-    rk = jnp.arange(k)
-    # sup[j, i]: higher-ranked candidate j suppresses i while j is alive
-    sup_mat = (iou > iou_thresh) & (rk[:, None] < rk[None, :])
-    valid = top_scores > 0
+    top_idx, sup_mat, valid = _nms_prep(boxes, scores, iou_thresh,
+                                        max_det)
 
     # Greedy NMS is the unique fixpoint of
     #     alive[i] = valid[i] & ~any_j(sup_mat[j, i] & alive[j])
@@ -155,36 +239,7 @@ def greedy_nms_device(boxes: jnp.ndarray, scores: jnp.ndarray,
     # finishing the rare non-converged case with the exact serial scan
     # (one O(k) fori_loop of O(k) work — cheaper than one more ceiling
     # of Jacobi passes), so the result is the greedy fixpoint either way.
-    max_passes = JACOBI_MAX_PASSES
-
-    def cond(st):
-        a, prev, it = st
-        return jnp.any(a != prev) & (it < max_passes)
-
-    def body(st):
-        a, _, it = st
-        return (valid & ~jnp.any(sup_mat & a[:, None], axis=0), a,
-                it + 1)
-
-    alive, prev_alive, _ = jax.lax.while_loop(
-        cond, body, (valid, jnp.zeros_like(valid), 0))
-
-    def serial_greedy(_):
-        # textbook rank-order scan from scratch: if i is alive it kills
-        # every lower-ranked overlap; exact by construction
-        def step(i, a):
-            return a & ~(sup_mat[i] & a[i])
-        return jax.lax.fori_loop(0, k, step, valid)
-
-    alive = jax.lax.cond(jnp.any(alive != prev_alive), serial_greedy,
-                         lambda _: alive, operand=None)
-    # compact the survivors to the first max_det slots
-    rank = jnp.cumsum(alive) - 1
-    sel = jnp.where(alive, rank, k)
-    out_idx = jnp.zeros((max_det,), dtype=top_idx.dtype)
-    out_valid = jnp.zeros((max_det,), dtype=bool)
-    in_range = (sel < max_det) & alive
-    slot = jnp.where(in_range, sel, max_det)  # max_det drops out of bounds
-    out_idx = out_idx.at[slot].set(top_idx, mode="drop")
-    out_valid = out_valid.at[slot].set(True, mode="drop")
-    return out_idx, out_valid
+    alive, converged = _jacobi_alive(sup_mat, valid, JACOBI_MAX_PASSES)
+    alive = jax.lax.cond(converged, lambda op: alive,
+                         lambda op: _serial_alive(*op), (sup_mat, valid))
+    return _compact(alive, top_idx, max_det)

@@ -192,6 +192,34 @@ def test_nms_device_jacobi_cap_falls_back_serial(monkeypatch, rng):
                                   keep_host)
 
 
+def test_nms_device_batch_matches_host(monkeypatch, rng):
+    """The batched entry point (serial-fallback cond hoisted OUT of the
+    vmap) must agree with per-image host greedy, both when Jacobi
+    converges and when a deep chain forces the batch-level serial
+    redo."""
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.ops import nms as nms_mod
+
+    n, b = 48, 3
+    boxes = (rng.random((b, n, 4), dtype=np.float32) * 0.3 + 0.1)
+    scores = rng.random((b, n), dtype=np.float32) * 0.9 + 0.05
+    # image 1 is a deep suppression chain (even ranks survive)
+    boxes[1] = np.stack([
+        0.1 + 0.02 * np.arange(n), np.full(n, 0.5),
+        np.full(n, 0.08), np.full(n, 0.08)], axis=1)
+    scores[1] = np.linspace(1.0, 0.5, n)
+    for cap in (nms_mod.JACOBI_MAX_PASSES, 2):
+        monkeypatch.setattr(nms_mod, "JACOBI_MAX_PASSES", cap)
+        idx, valid = jax.jit(
+            lambda bb, ss: ops.greedy_nms_device_batch(
+                bb, ss, 0.4, max_det=n)
+        )(jnp.asarray(boxes), jnp.asarray(scores))
+        for i in range(b):
+            keep_host = ops.greedy_nms_host(boxes[i], scores[i], 0.4)
+            np.testing.assert_array_equal(
+                np.asarray(idx[i])[np.asarray(valid[i])], keep_host,
+                err_msg=f"image {i} cap {cap}")
+
+
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
