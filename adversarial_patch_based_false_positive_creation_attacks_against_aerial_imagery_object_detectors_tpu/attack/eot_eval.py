@@ -131,7 +131,13 @@ def transform_patch_eval(patch: jnp.ndarray, labels: np.ndarray,
     ref = select_reference_box_7col(labels)
     half = s / cfg.scale_factor
     target_size = math.sqrt((ref[2] * half) ** 2 + (ref[3] * half) ** 2)
-    scale = target_size / p
+    # Degenerate-label guard: zero-area reference rows (e.g. a label
+    # file whose every detection is exp-overflow garbage from an
+    # untrained victim, sanitized to zero by select_reference_box_7col)
+    # give scale 0, and unlike the reference's FORWARD affine_grid our
+    # inverse-affine warp would invert a singular matrix into a NaN
+    # canvas. Clamp to a visible floor; sane label sets are unaffected.
+    scale = min(max(target_size / p, 1e-2), s / p)
     angle = float(rng.uniform(-cfg.max_angle, cfg.max_angle))
 
     # stage 1: rotation + scale about the canvas center

@@ -231,3 +231,23 @@ def test_detect_batch_device_matches_host(tiny_detector, rng):
         h = host[i][:300]
         assert len(dev) == len(h)
         np.testing.assert_allclose(dev, h, atol=1e-5, rtol=1e-4)
+
+
+def test_transform_patch_eval_degenerate_labels_finite(rng):
+    """Regression: a label set whose every row is non-finite
+    (exp-overflow detections from an untrained victim) must not produce
+    a NaN canvas — the zero-area reference box once drove the warp
+    scale to 0 and the inverse-affine inverted a singular matrix."""
+    import numpy as np
+    import jax.numpy as jnp
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu import attack
+    patch = jnp.asarray(rng.random((32, 32, 3)).astype(np.float32))
+    labels = np.full((50, 7), np.inf, np.float32)
+    labels[:, 4:6] = 0.9
+    cfg = attack.EvalEOTConfig(img_size=64)
+    adv, center = attack.transform_patch_eval(
+        patch, labels, np.random.default_rng(0), cfg)
+    assert np.isfinite(np.asarray(adv)).all()
+    imgs = jnp.full((1, 64, 64, 3), 0.3, jnp.float32)
+    out = np.asarray(attack.paste_patch(imgs, jnp.asarray(adv)[None]))
+    assert np.isfinite(out).all()
