@@ -392,11 +392,24 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
         # tested basis for a future whole-stage megakernel (which
         # would keep intermediates in VMEM and dodge both costs).
         env = os.environ.get("ADV_PATCH_RES152")
-        res152 = (env == "1" and mesh is None
-                  and jax.device_count() == 1)
-        if res152:
+        single = mesh is None and jax.device_count() == 1
+        # "fused" = whole-stage megakernel (ops/res_fused.py);
+        # "1" = per-layer planar (measured dead end, kept for A/B);
+        # "0" = XLA walk. Default: pending the fused on-chip A/B.
+        mode = env if env in ("fused", "1") and single else "0"
+        if mode != "0":
             from . import res_planar
-            if res_planar.res152_applicable(net, params, x.shape):
+            if (mode == "fused"
+                    and res_planar.fused_res_applicable(
+                        net, params, x.shape)):
+                sp6 = res_planar._stage_params(params, compute_dtype)
+                prev = res_planar.res152_fused_stage(
+                    prev.astype(compute_dtype), sp6)
+                outputs[11] = prev
+                start = 12
+            elif (mode == "1"
+                    and res_planar.res152_applicable(
+                        net, params, x.shape)):
                 sp6 = res_planar._stage_params(params, compute_dtype)
                 prev = res_planar.res152_planar(
                     prev.astype(compute_dtype), sp6)

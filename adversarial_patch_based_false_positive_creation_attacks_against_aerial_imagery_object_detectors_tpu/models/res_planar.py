@@ -142,3 +142,63 @@ def _res_bwd(resid, g11_nhwc, interpret=False):
 
 
 res152_planar.defvjp(_res_fwd, _res_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-stage megakernel variant (ops/res_fused.py)
+# ---------------------------------------------------------------------------
+
+def _pick_s(h: int) -> int:
+    for s in (8, 4, 2):
+        if h % s == 0:
+            return s
+    raise ValueError(f"stage height {h} not even")
+
+
+def fused_res_applicable(net, params, x_shape) -> bool:
+    """res152_applicable plus the megakernel's own constraints: the
+    yolov3 width of record (128) and an even stage height."""
+    from ..ops.res_fused import CIN
+    if not res152_applicable(net, params, x_shape):
+        return False
+    if net.layers[5].conv.filters != CIN:
+        return False
+    h = x_shape[1] // 4  # stage resolution after the s4 stem
+    return h % 2 == 0 and x_shape[1] == x_shape[2]
+
+
+@jax.custom_vjp
+def res152_fused_stage(x, sp):
+    """NHWC [B, H, W, 128] -> NHWC, layers 6-11 via the whole-stage
+    megakernels (one pallas_call per direction; conversions inside the
+    custom_vjp as in res152_planar). The differentiable path's forward
+    additionally exports int8 leaky'-sign masks that the saved-mask
+    backward consumes (no recompute; the chain only needs gates)."""
+    from ..ops import res_fused as RF
+    fwd_ops, _ = RF.res_weights(sp, dtype=x.dtype)
+    y11p = RF.res152_fused(to_planar_auto(x), fwd_ops,
+                           s=_pick_s(x.shape[1]), wq=x.shape[2])
+    return from_planar_auto(y11p, x.shape[2], x.shape[3])
+
+
+def _fused_fwd(x, sp):
+    from ..ops import res_fused as RF
+    fwd_ops, bwd_ops = RF.res_weights(sp, dtype=x.dtype)
+    y11p, *masks = RF.res152_fused(
+        to_planar_auto(x), fwd_ops, s=_pick_s(x.shape[1]),
+        wq=x.shape[2], save=True)
+    return (from_planar_auto(y11p, x.shape[2], x.shape[3]),
+            (tuple(masks), bwd_ops, sp, x.shape[2], x.shape[3]))
+
+
+def _fused_bwd(resid, g):
+    from ..ops import res_fused as RF
+    masks, bwd_ops, sp, w_img, c_img = resid
+    g11p = to_planar_auto(g.astype(bwd_ops[0].dtype))
+    g5p = RF.res152_fused_grad(g11p, masks, bwd_ops,
+                               s=_pick_s(g11p.shape[1]), wq=w_img)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, sp)
+    return from_planar_auto(g5p, w_img, c_img), zeros
+
+
+res152_fused_stage.defvjp(_fused_fwd, _fused_bwd)

@@ -345,13 +345,16 @@ def _halo_copy_multi(specs, sem, b, *, n_stripes):
     for (src, dst, ht, hb, rps, h_src) in specs:
         rtot = rps + ht + hb
 
-        @pl.when(first)
-        def _(dst=dst, ht=ht):
-            dst[0:ht] = jnp.zeros_like(dst[0:ht])
+        if ht:  # halo-free tensors (res_fused masks) have no fill rows
+            @pl.when(first)
+            def _(dst=dst, ht=ht):
+                dst[0:ht] = jnp.zeros_like(dst[0:ht])
 
-        @pl.when(last)
-        def _(dst=dst, rtot=rtot, hb=hb):
-            dst[rtot - hb:rtot] = jnp.zeros_like(dst[rtot - hb:rtot])
+        if hb:
+            @pl.when(last)
+            def _(dst=dst, rtot=rtot, hb=hb):
+                dst[rtot - hb:rtot] = jnp.zeros_like(
+                    dst[rtot - hb:rtot])
 
 
 def _store_row(ref, i, y, wq, scale=None):
