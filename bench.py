@@ -119,7 +119,16 @@ def _run_bench() -> None:
         "value": round(steps_per_min, 2),
         "unit": "steps/min",
         "vs_baseline": round(img_per_s / REFERENCE_IMG_PER_S, 3),
+        "ms_per_step": round(dt / n_steps * 1e3, 2),
     }
+    # Analytic MFU (conv fwd + dgrad FLOPs of the frozen-victim step /
+    # the chip's bf16 peak); None/absent on device kinds without a
+    # known peak (e.g. the CPU fallback path).
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.models import flops as _flops
+    mfu = _flops.mfu(dt / n_steps, BATCH, net,
+                     jax.devices()[0].device_kind, n_devices=n_dev)
+    if mfu is not None:
+        record["mfu"] = round(mfu, 4)
     if fused_fallback:
         record["fused_fallback"] = True
         record["fallback_reason"] = fallback_reason

@@ -300,7 +300,10 @@ def main():
         name = "yolov3_dota_synth"
         golden_img = 608
         train_img = 320  # fully-conv net: input size is a training knob
-        steps = args.steps if args.steps is not None else 240
+        # 600 is the step count OF RECORD: the committed goldens +
+        # SHA256SUMS were generated from the 600-step victim (round 3;
+        # the earlier 240-step default never shipped goldens)
+        steps = args.steps if args.steps is not None else 600
         batch = args.train_batch if args.train_batch is not None else 2
     else:
         out = os.path.join(REPO, "tests", "fixtures", "refparity")
