@@ -100,14 +100,26 @@ def _residual(blocks: List[Block], filters: int) -> None:
 
 def yolov3_blocks(num_classes: int = DOTA_NUM_CLASSES,
                   anchors: str = DOTA_ANCHORS,
-                  width: int = 608, height: int = 608) -> List[Block]:
+                  width: int = 608, height: int = 608,
+                  width_mult: float = 1.0) -> List[Block]:
     """Generate the YOLOv3 block list (darknet53 backbone + 3-scale head).
 
     Structurally identical to the reference's cfg/yolov3-dota.cfg (75 conv,
     23 shortcut, 4 route, 2 upsample, 3 yolo; classes=15 -> head filters=60),
     expressed in code rather than as a data file.
+
+    ``width_mult`` scales every channel count EXCEPT the final per-scale
+    60-filter detection convs (params scale ~width_mult^2; 0.25 -> ~3.9M).
+    The layer graph — depth, routes, strides, heads — is unchanged, which
+    is what makes the slim variant a committable full-DEPTH parity fixture
+    (tests/fixtures/refparity_slim) standing in for the 247MB full one.
     """
     head_filters = 3 * (5 + num_classes)
+
+    def w(f: int) -> int:
+        if width_mult == 1.0:
+            return f
+        return max(8, int(round(f * width_mult / 8)) * 8)
     b: List[Block] = [{
         "type": "net",
         "batch": "1", "subdivisions": "1",
@@ -118,11 +130,11 @@ def yolov3_blocks(num_classes: int = DOTA_NUM_CLASSES,
         "steps": "300000,400000", "scales": ".1,.1",
     }]
     # darknet53 backbone
-    b.append(_conv(32, 3))
+    b.append(_conv(w(32), 3))
     for filters, n_res in ((64, 1), (128, 2), (256, 8), (512, 8), (1024, 4)):
-        b.append(_conv(filters, 3, stride=2))  # downsample
+        b.append(_conv(w(filters), 3, stride=2))  # downsample
         for _ in range(n_res):
-            _residual(b, filters)
+            _residual(b, w(filters))
 
     def _yolo(mask: str) -> Block:
         return {
@@ -133,28 +145,28 @@ def yolov3_blocks(num_classes: int = DOTA_NUM_CLASSES,
 
     # scale 1 head (stride 32)
     for filters, size in ((512, 1), (1024, 3), (512, 1), (1024, 3), (512, 1)):
-        b.append(_conv(filters, size))
-    b.append(_conv(1024, 3))
+        b.append(_conv(w(filters), size))
+    b.append(_conv(w(1024), 3))
     b.append(_conv(head_filters, 1, activation="linear", bn=False))
     b.append(_yolo("6,7,8"))
     # scale 2 head (stride 16)
     b.append({"type": "route", "layers": "-4"})
-    b.append(_conv(256, 1))
+    b.append(_conv(w(256), 1))
     b.append({"type": "upsample", "stride": "2"})
     b.append({"type": "route", "layers": "-1, 61"})
     for filters, size in ((256, 1), (512, 3), (256, 1), (512, 3), (256, 1)):
-        b.append(_conv(filters, size))
-    b.append(_conv(512, 3))
+        b.append(_conv(w(filters), size))
+    b.append(_conv(w(512), 3))
     b.append(_conv(head_filters, 1, activation="linear", bn=False))
     b.append(_yolo("3,4,5"))
     # scale 3 head (stride 8)
     b.append({"type": "route", "layers": "-4"})
-    b.append(_conv(128, 1))
+    b.append(_conv(w(128), 1))
     b.append({"type": "upsample", "stride": "2"})
     b.append({"type": "route", "layers": "-1, 36"})
     for filters, size in ((128, 1), (256, 3), (128, 1), (256, 3), (128, 1)):
-        b.append(_conv(filters, size))
-    b.append(_conv(256, 3))
+        b.append(_conv(w(filters), size))
+    b.append(_conv(w(256), 3))
     b.append(_conv(head_filters, 1, activation="linear", bn=False))
     b.append(_yolo("0,1,2"))
     return b

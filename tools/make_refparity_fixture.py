@@ -289,6 +289,11 @@ def main():
     ap.add_argument("--full", action="store_true",
                     help="the real 75-conv yolov3-dota graph, goldens "
                          "at 608^2 (weights too large to commit)")
+    ap.add_argument("--slim", action="store_true",
+                    help="full-DEPTH 75-conv graph at width_mult 0.25 "
+                         "(~3.9M params / 15.6MB — small enough to COMMIT "
+                         "whole), goldens at 608^2: the fresh-checkout-"
+                         "verifiable architecture-of-record parity tier")
     ap.add_argument("--reuse-weights", action="store_true",
                     help="skip training, regenerate tiles/goldens only")
     ap.add_argument("--steps", type=int, default=None)
@@ -305,6 +310,16 @@ def main():
         # the earlier 240-step default never shipped goldens)
         steps = args.steps if args.steps is not None else 600
         batch = args.train_batch if args.train_batch is not None else 2
+    elif args.slim:
+        out = os.path.join(REPO, "tests", "fixtures", "refparity_slim")
+        name = "yolov3_dota_slim"
+        golden_img = 608
+        train_img = 320
+        # ~16x cheaper per step than --full, so the slim victim affords
+        # a longer deterministic training run (a stronger detector makes
+        # the sparse high-conf golden sweeps non-trivial)
+        steps = args.steps if args.steps is not None else 2400
+        batch = args.train_batch if args.train_batch is not None else 2
     else:
         out = os.path.join(REPO, "tests", "fixtures", "refparity")
         name = "mini_yolov3_dota"
@@ -315,14 +330,15 @@ def main():
 
     os.makedirs(out, exist_ok=True)
     cfg_path = os.path.join(out, f"{name}.cfg")
-    if args.full:
+    if args.full or args.slim:
         # Serialize the architecture of record from OUR programmatic
         # spec through OUR writer, then hand it to the REFERENCE's
         # parser/model below — a writer<->reference-parser cross-check
         # on the real graph, and the committed cfg is our own artifact.
         sys.path.insert(0, REPO)
         from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu import models as M
-        blocks = M.yolov3_blocks(width=golden_img, height=golden_img)
+        blocks = M.yolov3_blocks(width=golden_img, height=golden_img,
+                                 width_mult=0.25 if args.slim else 1.0)
         for blk in blocks:
             # the reference's weight save/load truth-tests the RAW
             # batch_normalize string ("0" is truthy, darknet_v3.py:245,
@@ -363,6 +379,8 @@ def main():
           f"goldens @ {golden_img}^2, train @ {train_img}^2)", flush=True)
     if args.full:
         assert abs(n_params - 61.65e6) < 0.2e6, n_params  # graph of record
+    if args.slim:
+        assert abs(n_params - 3.89e6) < 0.1e6, n_params
     anchors_groups = get_anchors("data/yolov3_anchors.txt")  # quirk incl.
 
     weights_path = os.path.join(out, f"{name}.weights")
