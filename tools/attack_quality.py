@@ -26,6 +26,12 @@ Scales: --mini (committed 14-block victim, 320^2, patch 112; minutes)
 or --full (the ARCHITECTURE OF RECORD: 75-conv yolov3-dota graph,
 608^2, patch 224; needs tests/fixtures/refparity_full regenerated).
 
+Note on the printed precision column: values above 1 (up to 1e9-ish on
+weak victims) are reference parity, not a bug — eval_list counts
+``correct`` over ALL prediction rows but ``proposals`` only above the
+conf threshold (reference utils_self.py:44-60), so precision explodes
+when few predictions pass 0.4. M1/M2/M4/mAP are the paper's metrics.
+
 Usage:
     python tools/attack_quality.py --mini [--epochs 150] [--out DIR]
     python tools/attack_quality.py --full
