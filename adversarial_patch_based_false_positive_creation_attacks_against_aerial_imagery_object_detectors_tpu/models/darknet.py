@@ -348,19 +348,46 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
                 and x.shape[0] % n_dev == 0):
             sp = stem_planar._stem_params(params, compute_dtype)
             xc = x.astype(compute_dtype)
-            if n_dev > 1:
-                from jax import shard_map
-                from jax.sharding import PartitionSpec as P
-                axis = mesh.axis_names[0]
-                fn = shard_map(
-                    stem_fused.fused_stem, mesh=mesh,
-                    in_specs=(P(axis), P()), out_specs=P(axis),
-                    check_vma=False)
-                prev = fn(xc, sp)
-            else:
-                prev = stem_fused.fused_stem(xc, sp)
-            outputs[5] = prev
-            start = 6
+            # ADV_PATCH_RES152=c12: chain the 152^2-stage megakernel
+            # DIRECTLY on the stem's planar output and pull conv12's
+            # stride-2 dgrad inside the fused backward (the round-3
+            # post-mortem's boundary-widening). Single-device only
+            # (the combined unit is not shard_map-wrapped).
+            if (os.environ.get("ADV_PATCH_RES152") == "c12"
+                    and n_dev == 1 and jax.device_count() == 1):
+                from . import res_planar
+                if res_planar.c12_applicable(net, params, x.shape):
+                    sp6 = res_planar._stage_params(params, compute_dtype)
+                    p12 = params["conv_12"]
+                    y5p = stem_fused.fused_stem_planar(xc, sp)
+                    prev = res_planar.res152_c12_fused(
+                        y5p, sp6, p12["w"].astype(compute_dtype),
+                        p12["b"])
+                    outputs[12] = prev
+                    start = 13
+            # ADV_PATCH_STEM_REMAT=1: backward rematerializes stem
+            # activations in VMEM instead of restoring the forward's
+            # saved planar exports — A/B lever for large batches where
+            # the save/restore HBM traffic scales with B. Measured
+            # (ROADMAP): saved-activation wins at b8 AND b24; remat
+            # kept as a memory-pressure option.
+            stem_fn = (stem_fused.fused_stem_remat
+                       if os.environ.get("ADV_PATCH_STEM_REMAT") == "1"
+                       else stem_fused.fused_stem)
+            if start != 13:  # the c12 route above consumed the stem
+                if n_dev > 1:
+                    from jax import shard_map
+                    from jax.sharding import PartitionSpec as P
+                    axis = mesh.axis_names[0]
+                    fn = shard_map(
+                        stem_fn, mesh=mesh,
+                        in_specs=(P(axis), P()), out_specs=P(axis),
+                        check_vma=False)
+                    prev = fn(xc, sp)
+                else:
+                    prev = stem_fn(xc, sp)
+                outputs[5] = prev
+                start = 6
     if start == 0 and planar_stem is None:
         # Default OFF: the planar FORWARD wins (5.3 vs 8.2 ms at b8 —
         # inference paths like Detector opt in explicitly), but

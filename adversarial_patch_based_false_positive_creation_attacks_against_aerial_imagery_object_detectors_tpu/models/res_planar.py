@@ -202,3 +202,86 @@ def _fused_bwd(resid, g):
 
 
 res152_fused_stage.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Boundary-widened variant: planar-direct stem handoff + conv12 inside
+# ---------------------------------------------------------------------------
+
+def c12_applicable(net, params, x_shape) -> bool:
+    """fused_res_applicable plus: layer 12 is the stride-2 3x3 leaky
+    conv 128->256 (BN-folded), and nothing outside 6..12 consumes the
+    stage internals INCLUDING layer 11 (it becomes kernel-internal)."""
+    if not fused_res_applicable(net, params, x_shape):
+        return False
+    if len(net.layers) < 13 or net.layers[12].kind != "convolutional":
+        return False
+    c12 = net.layers[12].conv
+    if (c12.size, c12.stride, c12.filters) != (3, 2, 256) or \
+            c12.activation != "leaky":
+        return False
+    if "gamma" in params.get("conv_12", {}):
+        return False
+    for l in net.layers[13:]:
+        if any(5 <= s < 12 for s in l.route_from) or \
+                5 <= l.shortcut_from < 12:
+            return False
+    # the stage height must also split into even stripes at h/2
+    return (x_shape[1] // 4) % 2 == 0
+
+
+def _conv12(y11, w12, b12):
+    prec = (jax.lax.Precision.HIGHEST if y11.dtype == jnp.float32
+            else None)
+    z = jax.lax.conv_general_dilated(
+        y11, w12.astype(y11.dtype), (2, 2), [(1, 1)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=prec) + b12.astype(jnp.float32).astype(y11.dtype)
+    return z
+
+
+@jax.custom_vjp
+def res152_c12_fused(y5p, sp, w12, b12):
+    """PLANAR y5 [B, H, 128, Wl] (from stem_fused.fused_stem_planar)
+    -> NHWC y12 [B, H/2, W/2, 256]: the 152^2 stage megakernel chained
+    DIRECTLY on the stem's planar output (no NHWC round trip at the
+    boundary), with conv12 + leaky as the XLA forward tail. The
+    backward consumes g12 — HALF the HBM bytes of g11 — and computes
+    conv12's stride-2 input cotangent INSIDE the fused stage kernel
+    (ops/res_fused.res152_fused_grad12), returning a PLANAR g5 for the
+    stem backward to consume directly."""
+    from ..ops import res_fused as RF
+    fwd_ops, _ = RF.res_weights(sp, dtype=y5p.dtype)
+    h = y5p.shape[1]
+    y11p = RF.res152_fused(y5p, fwd_ops, s=_pick_s(h), wq=h)
+    y11 = from_planar_auto(y11p, h, 128)
+    z12 = _conv12(y11, w12, b12)
+    return jnp.where(z12 > 0, z12, 0.1 * z12)
+
+
+def _c12_fwd(y5p, sp, w12, b12):
+    from ..ops import res_fused as RF
+    fwd_ops, bwd12_ops = RF.res12_weights(sp, w12, dtype=y5p.dtype)
+    h = y5p.shape[1]
+    y11p, *masks = RF.res152_fused(y5p, fwd_ops, s=_pick_s(h), wq=h,
+                                   save=True)
+    y11 = from_planar_auto(y11p, h, 128)
+    z12 = _conv12(y11, w12, b12)
+    y12 = jnp.where(z12 > 0, z12, 0.1 * z12)
+    m12 = (z12 > 0).astype(jnp.int8)
+    return y12, (tuple(masks), bwd12_ops, m12, h, sp, w12, b12)
+
+
+def _c12_bwd(resid, g12):
+    from ..ops import res_fused as RF
+    masks, bwd12_ops, m12, h, sp, w12, b12 = resid
+    dt = bwd12_ops[0].dtype
+    gp12 = (g12.astype(dt)
+            * jnp.where(m12 > 0, 1.0, 0.1).astype(dt))
+    g5p = RF.res152_fused_grad12(to_planar_auto(gp12), masks,
+                                 bwd12_ops, s=_pick_s(h), wq=h)
+    zeros_sp = jax.tree_util.tree_map(jnp.zeros_like, sp)
+    return (g5p, zeros_sp, jnp.zeros_like(w12), jnp.zeros_like(b12))
+
+
+res152_c12_fused.defvjp(_c12_fwd, _c12_bwd)

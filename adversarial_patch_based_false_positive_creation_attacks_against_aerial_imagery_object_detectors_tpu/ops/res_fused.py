@@ -78,6 +78,30 @@ def _flip_t(w):
     return jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
 
 
+def _w12dx_pair(w12):
+    """conv12-dx pair matrix [512, 1024] for the stride-2 3x3 conv INTO
+    76^2 (yolov3 layer 12, 128->256) whose input cotangent is the
+    dominant 152^2-shaped work left outside the stage boundary (the
+    round-3 megakernel post-mortem). Rows [evenE, oddE, evenO, oddO]
+    (128 cin each), cols (block: [g(t) sl1, g(t) sl2, g(t+1) sl1,
+    g(t+1) sl2], cout256). Identical stride-2 adjoint parity calculus
+    to stem_fused._w5dx_pair: even output rows take the dy=1 taps of
+    g12 row t; odd rows take dy=2 of t and dy=0 of t+1; even lanes
+    take dx=1, odd lanes dx=2 (@sl1) and dx=0 (@sl2)."""
+    b = {("p", 1): 0, ("p", 2): 256, ("p1", 1): 512, ("p1", 2): 768}
+    return [
+        (0, b[("p", 1)], w12[1, 1]),                     # evenE
+        (128, b[("p1", 1)], w12[0, 1]),                  # oddE
+        (128, b[("p", 1)], w12[2, 1]),
+        (256, b[("p", 2)], w12[1, 0]),                   # evenO
+        (256, b[("p", 1)], w12[1, 2]),
+        (384, b[("p1", 2)], w12[0, 0]),                  # oddO
+        (384, b[("p1", 1)], w12[0, 2]),
+        (384, b[("p", 2)], w12[2, 0]),
+        (384, b[("p", 1)], w12[2, 2]),
+    ]
+
+
 def _bias_pair(b):
     return jnp.concatenate([b, b]).astype(jnp.float32)[:, None]
 
@@ -99,6 +123,16 @@ def res_weights(sp, dtype=jnp.bfloat16):
            _w1x1_pair(w9t[0, 0].T).astype(dtype),
            _w3x3_pair(w10t).astype(dtype))
     return fwd, bwd
+
+
+def res12_weights(sp, w12, dtype=jnp.bfloat16):
+    """(fwd_ops, bwd12_ops) for the conv12-widened stage: the stage
+    operands of ``res_weights`` plus the conv12 dgrad pair matrix
+    (RAW HWIO w12 [3,3,128,256]; the stride-2 flip is baked into the
+    parity table, like stem_fused._w5dx_pair)."""
+    fwd, bwd = res_weights(sp, dtype)
+    w12dx = _blkw((512, 1024), _w12dx_pair(w12), dtype)
+    return fwd, (w12dx,) + bwd
 
 
 def _store_body(ref, i, y, wq, scale=None):
@@ -268,7 +302,6 @@ def _bwd_kernel(g11_hbm, am_hbm, p7m_hbm, cm_hbm, p10m_hbm,
     five inputs are the output cotangent and the forward's int8 gates."""
     b = pl.program_id(0)
     rb = pl.program_id(1)
-    sl = (slice(0, wq), slice(1, wq + 1), slice(2, wq + 2))
     _zero_edges((gp10_loc, gp9_loc, g8_loc, gp6_loc), wq)
     _halo_copy_multi([(g11_hbm, g11_loc, 2, 2, s, h),
                       (am_hbm, am, 0, 0, s, h),
@@ -276,6 +309,68 @@ def _bwd_kernel(g11_hbm, am_hbm, p7m_hbm, cm_hbm, p10m_hbm,
                       (cm_hbm, cm, 1, 1, s, h),
                       (p10m_hbm, p10m, 2, 2, s, h)], sem, b,
                      n_stripes=n_stripes)
+    _stage_chain(g11_loc, am, p7m, cm, p10m, w6td, w7tp, w9td, w10tp,
+                 g5_out, gp10_loc, gp9_loc, g8_loc, gp6_loc, sh,
+                 s=s, h=h, rb=rb, wq=wq, prec=prec)
+
+
+def _bwd12_kernel(g12_hbm, am_hbm, p7m_hbm, cm_hbm, p10m_hbm,
+                  w12dx, se12_t, so12_t, w6td, w7tp, w9td, w10tp,
+                  g5_out,
+                  g12b, g11_loc, am, p7m, cm, p10m, gp10_loc, gp9_loc,
+                  g8_loc, gp6_loc, sh, sem, *,
+                  s, h, n_stripes, wq, wq12, prec):
+    """Boundary-widened saved-mask backward: consumes the PRE-GATED
+    conv12 cotangent g_pre12 (76^2, 256ch planar — HALF the HBM input
+    bytes of g11) and computes conv12's stride-2 input cotangent
+    in-kernel (conv5-dx pattern: paired phase dots + one-hot lane
+    interleave) before the stage chain. This moves the dominant
+    152^2-shaped dgrad of the step INSIDE the fused stage boundary."""
+    b = pl.program_id(0)
+    rb = pl.program_id(1)
+    _zero_edges((g11_loc, gp10_loc, gp9_loc, g8_loc, gp6_loc), wq)
+    _halo_copy_multi([(g12_hbm, g12b, 1, 2, s // 2, h // 2),
+                      (am_hbm, am, 0, 0, s, h),
+                      (p7m_hbm, p7m, 1, 1, s, h),
+                      (cm_hbm, cm, 1, 1, s, h),
+                      (p10m_hbm, p10m, 2, 2, s, h)], sem, b,
+                     n_stripes=n_stripes)
+    # conv12-dx: g11 rows [rb*s-2, rb*s+s+2) from g12 rows
+    # [rb*s/2-1, rb*s/2+s/2+2). Cache: two lane-shift blocks (256ch)
+    # per g12 buffer row; one [512, 1024] dot per g11 row pair, then
+    # two one-hot interleave dots merge the even/odd lane phases.
+    n_g12 = s // 2 + 3
+    for r in range(n_g12):
+        g = g12b[pl.ds(r, 1)][0]
+        sh[(2 * r) * 256:(2 * r + 1) * 256, :wq12] = g[:, 1:wq12 + 1]
+        sh[(2 * r + 1) * 256:(2 * r + 2) * 256, :wq12] = g[:, 2:wq12 + 2]
+    base11 = rb * s - 2
+    for t in range(s // 2 + 2):
+        out = jnp.dot(w12dx[:], sh[2 * t * 256:(2 * t + 4) * 256, :wq12],
+                      precision=prec,
+                      preferred_element_type=jnp.float32)  # [512, wq12]
+        gpair = (jnp.dot(out[0:256].astype(g11_loc.dtype), se12_t[:],
+                         precision=prec,
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(out[256:512].astype(g11_loc.dtype), so12_t[:],
+                           precision=prec,
+                           preferred_element_type=jnp.float32))
+        _store_body(g11_loc, 2 * t, gpair[0:CIN], wq,
+                    scale=_in_range(base11, 2 * t, h))
+        _store_body(g11_loc, 2 * t + 1, gpair[CIN:2 * CIN], wq,
+                    scale=_in_range(base11, 2 * t + 1, h))
+    _stage_chain(g11_loc, am, p7m, cm, p10m, w6td, w7tp, w9td, w10tp,
+                 g5_out, gp10_loc, gp9_loc, g8_loc, gp6_loc, sh,
+                 s=s, h=h, rb=rb, wq=wq, prec=prec)
+
+
+def _stage_chain(g11_loc, am, p7m, cm, p10m, w6td, w7tp, w9td, w10tp,
+                 g5_out, gp10_loc, gp9_loc, g8_loc, gp6_loc, sh, *,
+                 s, h, rb, wq, prec):
+    """The layers-11..6 input-cotangent chain, shared by the g11-fed
+    and g12-fed (conv12-widened) backward kernels. Expects g11_loc rows
+    [0, s+4) = g11 rows [rb*s-2, rb*s+s+2) (zero out of range)."""
+    sl = (slice(0, wq), slice(1, wq + 1), slice(2, wq + 2))
     # g_pre10 rows base-2.. (s+4) = g11 * leaky'(post10)
     for k in range(s + 4):
         g = g11_loc[pl.ds(k, 1)][0][:, 1:wq + 1].astype(jnp.float32)
@@ -410,3 +505,59 @@ def res152_fused_grad(g11, masks, bwd_ops, *, s=8, wq, interpret=False):
         ],
         interpret=interpret,
     )(g11, am, p7m, cm, p10m, w6td, w7tp, w9td, w10tp)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "wq", "interpret"))
+def res152_fused_grad12(gp12, masks, bwd12_ops, *, s=8, wq,
+                        interpret=False):
+    """Boundary-widened saved-mask input cotangent: the PRE-GATED
+    conv12 cotangent (planar [B, H/2, 256, Wl12], g12 * leaky'(z12))
+    + the stage's int8 masks -> g5 planar [B, H, 128, Wl]. conv12's
+    stride-2 dgrad runs in-kernel (see _bwd12_kernel); ``bwd12_ops`` =
+    ``res12_weights(...)[1]``."""
+    from .stem_fused import _onehot_sel, _round_up
+    b, h12, c12, wl12 = gp12.shape
+    assert c12 == 2 * CIN, (c12,)
+    h = 2 * h12
+    wq12 = wq // 2
+    assert wl12 == _round_up(wq12 + 2, 128), (wl12, wq12)
+    wl = _round_up(wq + 2, 128)
+    n_stripes = h // s
+    assert h % s == 0 and s % 2 == 0, (h, s)
+    mid = CIN // 2
+    am, p7m, cm, p10m = masks
+    w12dx, w6td, w7tp, w9td, w10tp = bwd12_ops
+    dt = gp12.dtype
+    prec = None if dt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    se12_t = _onehot_sel(wq, wq12, 2, 0, dt).T   # [wq12, wq]: u -> 2u
+    so12_t = _onehot_sel(wq, wq12, 2, 1, dt).T   # u -> 2u+1
+    kernel = functools.partial(_bwd12_kernel, s=s, h=h,
+                               n_stripes=n_stripes, wq=wq, wq12=wq12,
+                               prec=prec)
+    cache_rows = max((s + 4) * 3 * CIN, (s + 6) * 2 * CIN)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_stripes),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=pl.BlockSpec((1, s, CIN, wl),
+                               lambda b_, r_: (b_, r_, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, CIN, wl), dt),
+        scratch_shapes=[
+            pltpu.VMEM((s // 2 + 3, 2 * CIN, wl12), dt),  # g_pre12
+            pltpu.VMEM((s + 4, CIN, wl), dt),         # g11, then gp7
+            pltpu.VMEM((s, mid, wl), jnp.int8),       # a mask
+            pltpu.VMEM((s + 2, CIN, wl), jnp.int8),   # post7 mask
+            pltpu.VMEM((s + 2, mid, wl), jnp.int8),   # c mask
+            pltpu.VMEM((s + 4, CIN, wl), jnp.int8),   # post10 mask
+            pltpu.VMEM((s + 4, CIN, wl), dt),         # g_pre10
+            pltpu.VMEM((s + 2, mid, wl), dt),         # g_pre9
+            pltpu.VMEM((s + 2, CIN, wl), dt),         # g8
+            pltpu.VMEM((s, mid, wl), dt),             # g_pre6
+            pltpu.VMEM((cache_rows, wl), dt),         # tap cache
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(gp12, am, p7m, cm, p10m, w12dx, se12_t, so12_t,
+      w6td, w7tp, w9td, w10tp)

@@ -1137,6 +1137,37 @@ fused_stem.defvjp(_fs_fwd, _fs_bwd)
 
 
 @jax.custom_vjp
+def fused_stem_planar(x, sp):
+    """``fused_stem`` variant that STOPS AT PLANAR: NHWC [B,H,W,3] ->
+    planar y5 [B, H/4, 128, Wl5], and its backward consumes a PLANAR
+    g5 cotangent. Exists so a downstream planar consumer (the
+    conv12-widened 152^2 stage, models/res_planar.res152_c12_fused)
+    can chain directly on the stem's native layout — deleting the
+    planar->NHWC->planar round trips at the stem/stage boundary in
+    both directions."""
+    xe, xo = split_phases(x)
+    return fused_stem_fwd(xe, xo, sp)
+
+
+def _fsp_fwd(x, sp):
+    xe, xo = split_phases(x)
+    acts = fused_stem_fwd(xe, xo, sp, save_acts=True)
+    return acts[0], (acts, sp)
+
+
+def _fsp_bwd(resid, g5p):
+    acts, sp = resid
+    h = acts[1].shape[1]
+    gxe, gxo = fused_stem_bwd_saved(acts, g5p.astype(acts[0].dtype), sp)
+    gx = merge_phases(gxe, gxo, h // 2, 3)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, sp)
+    return gx, zeros
+
+
+fused_stem_planar.defvjp(_fsp_fwd, _fsp_bwd)
+
+
+@jax.custom_vjp
 def fused_stem_remat(x, sp):
     """``fused_stem`` variant whose backward rematerializes the stem
     activations in VMEM instead of saving them (slower, near-zero

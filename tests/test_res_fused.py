@@ -80,3 +80,44 @@ def test_res_fused_backward_parity(rng):
     got = P.from_planar(g5p, H, c=C)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_res_fused_grad12_parity(rng):
+    """The boundary-widened backward: conv12's stride-2 dgrad computed
+    IN-KERNEL (res152_fused_grad12) against jax.vjp of the XLA
+    stage+conv12+leaky chain."""
+    x = jnp.asarray(rng.standard_normal((2, H, H, C)), jnp.float32)
+    sp = _stage_params(rng)
+    w12 = jnp.asarray(rng.standard_normal((3, 3, C, 2 * C)) * 0.05,
+                      jnp.float32)
+    b12 = jnp.asarray(rng.standard_normal(2 * C) * 0.1, jnp.float32)
+
+    def ref(t):
+        y11 = _ref_stage(t, sp)
+        z = lax.conv_general_dilated(
+            y11, w12, (2, 2), [(1, 1)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b12
+        return _leaky(z)
+
+    y12_ref, vjp_fn = jax.vjp(ref, x)
+    g12 = jnp.asarray(rng.standard_normal(y12_ref.shape), jnp.float32)
+    (want,) = vjp_fn(g12)
+
+    fwd_ops, bwd12_ops = RF.res12_weights(sp, w12, dtype=jnp.float32)
+    xp = P.to_planar(x)
+    y11p, *masks = RF.res152_fused(xp, fwd_ops, s=S, wq=H, save=True,
+                                   interpret=True)
+    # conv12 + gate live in XLA (the fused unit's forward tail)
+    y11 = P.from_planar(y11p, H, c=C)
+    z12 = lax.conv_general_dilated(
+        y11, w12, (2, 2), [(1, 1)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b12
+    np.testing.assert_allclose(np.asarray(_leaky(z12)),
+                               np.asarray(y12_ref), rtol=2e-4,
+                               atol=2e-4)
+    gp12 = g12 * jnp.where(z12 > 0, 1.0, 0.1)
+    g5p = RF.res152_fused_grad12(P.to_planar(gp12), tuple(masks),
+                                 bwd12_ops, s=S, wq=H, interpret=True)
+    got = P.from_planar(g5p, H, c=C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
