@@ -148,6 +148,43 @@ def test_fused_stem_custom_vjp(rng, monkeypatch):
                                atol=2e-5 * scale)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("variant", ["planar", "remat"])
+def test_fused_stem_variant_custom_vjp(variant, rng, monkeypatch):
+    """The planar-out wrapper (the c12 stage handoff — planar y5 out,
+    planar g5 in) and the remat-backward wrapper both match the XLA
+    oracle end to end under jax.grad (interpret mode)."""
+    for name in ("fused_stem_fwd", "fused_stem_bwd_saved",
+                 "fused_stem_bwd"):
+        monkeypatch.setattr(SF, name,
+                            functools.partial(getattr(SF, name),
+                                              interpret=True))
+    h = 32
+    sp = make_sp(rng)
+    x = jnp.asarray(rng.random((2, h, h, 3)), jnp.float32)
+    g5 = jnp.asarray(rng.standard_normal((2, h // 4, h // 4, 128)),
+                     jnp.float32)
+    if variant == "planar":
+        def fn(v):
+            return SF.from_planar(SF.fused_stem_planar(v, sp),
+                                  h // 4, c=128)
+    else:
+        def fn(v):
+            return SF.fused_stem_remat(v, sp)
+
+    want_y = np.asarray(xla_stem(x, sp))
+    got_y = np.asarray(fn(x))
+    np.testing.assert_allclose(got_y, want_y, rtol=2e-5, atol=2e-5)
+    want_g = np.asarray(jax.grad(
+        lambda v: jnp.sum(xla_stem(v, sp) * g5))(x))
+    got_g = np.asarray(jax.grad(lambda v: jnp.sum(fn(v) * g5))(x))
+    ok = sign_safe_mask(x, sp)
+    assert ok.mean() > 0.2, "sign-safe mask degenerate"
+    scale = np.abs(want_g).max()
+    np.testing.assert_allclose(got_g[ok], want_g[ok], rtol=2e-5,
+                               atol=2e-5 * scale)
+
+
 def test_fused_applicable_rejects_other_channel_widths():
     """The megakernels hard-code yolov3 stem widths; a structurally
     similar stem with different filter counts (e.g. the tiny test cfg)
