@@ -24,6 +24,7 @@ from .darknet import Network
 _PEAK_BF16: Dict[str, float] = {
     "TPU v4": 275e12,
     "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
     "TPU v5": 459e12,        # v5p
     "TPU v5p": 459e12,
     "TPU v6 lite": 918e12,   # v6e / Trillium
@@ -33,12 +34,22 @@ _PEAK_BF16: Dict[str, float] = {
 
 def peak_flops_bf16(device_kind: str) -> float | None:
     """Per-chip bf16 peak for a ``jax.Device.device_kind``, else None.
-    Longest prefix wins ("TPU v5 lite" over "TPU v5")."""
-    matches = [(len(k), v) for k, v in _PEAK_BF16.items()
-               if device_kind.startswith(k)]
-    if not matches:
-        return None
-    return max(matches)[1]
+
+    Exact match first; otherwise longest prefix whose unmatched
+    remainder carries no alphabetic qualifier (a digit/space suffix
+    like a core index is fine). The alpha guard keeps efficiency /
+    inference variants NOT in the table (e.g. "TPU v4 lite", "TPU
+    v4i") from inheriting the big chip's peak — better to omit MFU
+    (None) than to commit one that's ~2x off."""
+    if device_kind in _PEAK_BF16:
+        return _PEAK_BF16[device_kind]
+    matches = []
+    for k, v in _PEAK_BF16.items():
+        if device_kind.startswith(k):
+            rest = device_kind[len(k):]
+            if not any(ch.isalpha() for ch in rest):
+                matches.append((len(k), v))
+    return max(matches)[1] if matches else None
 
 
 def conv_fwd_flops_per_image(net: Network) -> float:

@@ -226,8 +226,11 @@ def c12_applicable(net, params, x_shape) -> bool:
         if any(5 <= s < 12 for s in l.route_from) or \
                 5 <= l.shortcut_from < 12:
             return False
-    # the stage height must also split into even stripes at h/2
-    return (x_shape[1] // 4) % 2 == 0
+    # conv12's in-kernel dgrad splits each stage stripe at h/2, so the
+    # picked stripe size must itself halve into a multi-row g12 stripe
+    # (s in {8, 4}; _pick_s's s=2 fallback would hand the halo pattern
+    # a width-1 g12 stripe, which is untested).
+    return _pick_s(x_shape[1] // 4) % 4 == 0
 
 
 def _conv12(y11, w12, b12):

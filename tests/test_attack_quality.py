@@ -14,13 +14,11 @@ the control. Full-scale (608^2, 75-conv victim) numbers live in
 ROADMAP.md; this test keeps the protocol itself from regressing."""
 
 import importlib.util
-import json
 import os
 import sys
 
 import numpy as np
 import pytest
-from PIL import Image
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "cli"))
@@ -31,22 +29,17 @@ WEIGHTS = os.path.join(FIX, "mini_yolov3_dota.weights")
 IMG, PATCH = 320, 112
 
 
-def _fixture_gen():
+def _load_tool():
+    """The protocol helpers come FROM tools/attack_quality.py — the
+    test reuses the tool's scene generation and control-patch
+    construction rather than re-implementing them, so the regression
+    test always covers the code the full-scale run executes."""
     spec = importlib.util.spec_from_file_location(
-        "make_refparity_fixture",
-        os.path.join(REPO, "tools", "make_refparity_fixture.py"))
+        "attack_quality",
+        os.path.join(REPO, "tools", "attack_quality.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
-
-
-def _scenes(gen, out, n, seed):
-    os.makedirs(out, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    palette = gen._palette(np.random.default_rng(7))
-    for i in range(n):
-        scene, _ = gen.make_scene(rng, palette, img=IMG)
-        Image.fromarray(scene).save(os.path.join(out, f"s{i:03d}.png"))
 
 
 @pytest.mark.slow
@@ -56,12 +49,13 @@ def test_attack_quality_protocol_mini(tmp_path):
     import test_patch_metrics
     import train_patch
 
-    gen = _fixture_gen()
+    tool = _load_tool()
+    gen = tool._load_fixture_gen()
     model_args = ["--cfgfile", CFG, "--weightfile", WEIGHTS,
                   "--img-size", str(IMG), "--fp32"]
 
-    _scenes(gen, str(tmp_path / "raw_train"), 24, 2024)
-    _scenes(gen, str(tmp_path / "raw_test"), 8, 4048)
+    tool._gen_scenes(gen, str(tmp_path / "raw_train"), 24, 2024, IMG)
+    tool._gen_scenes(gen, str(tmp_path / "raw_test"), 8, 4048, IMG)
     images_filter.main(model_args + [
         "--img-dir", str(tmp_path / "raw_train"),
         "--out-dir", str(tmp_path / "train_set")])
@@ -81,10 +75,8 @@ def test_attack_quality_protocol_mini(tmp_path):
         "--num-workers", "2",
         "--out-dir", str(tmp_path / "run")])
 
-    rng = np.random.default_rng(123)
     ctrl = tmp_path / "random_patch.png"
-    Image.fromarray((rng.random((PATCH, PATCH, 3)) * 255).astype(
-        np.uint8)).save(ctrl)
+    tool.write_control_patch(str(ctrl), PATCH)
 
     reports = {}
     for name, png in (("trained", str(tmp_path / "run" /

@@ -68,3 +68,34 @@ def test_main_emits_error_json_when_child_hangs(monkeypatch, capsys):
     rec = json.loads(bench._extract_json_line(out))
     assert rec["value"] == 0.0
     assert "timed out" in rec["error"]
+
+
+def test_peak_flops_variant_guard():
+    """Unlisted efficiency/inference variants must get None (omit MFU)
+    rather than inheriting a bigger chip's peak via prefix match."""
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.models.flops import (
+        peak_flops_bf16)
+    assert peak_flops_bf16("TPU v5 lite") == 197e12
+    assert peak_flops_bf16("TPU v5e") == 197e12
+    assert peak_flops_bf16("TPU v5p") == 459e12
+    assert peak_flops_bf16("TPU v5") == 459e12
+    assert peak_flops_bf16("TPU v4") == 275e12
+    # digit/space suffix (core index) is fine; alpha qualifier is not
+    assert peak_flops_bf16("TPU v5 lite 0") == 197e12
+    assert peak_flops_bf16("TPU v4 lite") is None   # v4i-class: unknown
+    assert peak_flops_bf16("TPU v4i") is None
+    assert peak_flops_bf16("TPU v7x") is None
+    assert peak_flops_bf16("cpu") is None
+
+
+def test_train_step_flops_consistent():
+    """fwd+dgrad = 2x forward; yolov3-dota at 608^2 is ~280 GFLOP/img
+    (the number behind the recorded ~48% MFU)."""
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.models import (
+        build_network, yolov3_blocks)
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.models.flops import (
+        conv_fwd_flops_per_image, train_step_flops_per_image)
+    net = build_network(yolov3_blocks())
+    fwd = conv_fwd_flops_per_image(net)
+    assert train_step_flops_per_image(net) == 2.0 * fwd
+    assert 1.0e11 < fwd < 2.0e11, fwd

@@ -121,3 +121,67 @@ def test_res_fused_grad12_parity(rng):
     got = P.from_planar(g5p, H, c=C)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_c12_dispatch_through_apply(rng, monkeypatch):
+    """The ADV_PATCH_RES152=c12 dispatch glue in models/darknet.apply —
+    fused_stem_planar handoff, outputs[12] wiring, the start=13
+    sentinel, the compute_dtype cast on conv_12, and the route
+    breadcrumb — end to end on the REAL yolov3 layer graph at reduced
+    resolution (interpret mode): heads and input-gradient digest must
+    match the default XLA route, and last_routes() must prove the c12
+    route actually ran (the kernels/VJP wrappers are oracle-tested
+    separately; this covers the apply() glue that only tools/c12_ab.py
+    exercised before)."""
+    import functools
+
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.models import (
+        apply, build_network, darknet, fold_bn, init_params,
+        yolov3_blocks)
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.ops import (
+        stem_fused as SF)
+
+    for mod, names in ((SF, ("fused_stem_fwd", "fused_stem_bwd_saved")),
+                       (RF, ("res152_fused", "res152_fused_grad12"))):
+        for n in names:
+            monkeypatch.setattr(mod, n,
+                                functools.partial(getattr(mod, n),
+                                                  interpret=True))
+    monkeypatch.setenv("ADV_PATCH_RES152", "c12")
+    # the conftest forces 8 virtual CPU devices; the c12 gate is
+    # single-device only, and with no mesh + numpy inputs plain jit
+    # places everything on device 0, so faking the count is safe here
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+
+    net = build_network(yolov3_blocks())
+    params = fold_bn(net, init_params(net, jax.random.PRNGKey(1)))
+    x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+
+    want_heads = apply(net, params, x, compute_dtype=jnp.float32,
+                       fused_stem=False)
+    got_heads = apply(net, params, x, compute_dtype=jnp.float32,
+                      fused_stem=True)
+    assert darknet.last_routes() == {"stem": "c12", "res152": "c12"}
+    assert len(got_heads) == len(want_heads) == 3
+    for gh, wh in zip(got_heads, want_heads):
+        scale = np.abs(np.asarray(wh)).max()
+        np.testing.assert_allclose(np.asarray(gh), np.asarray(wh),
+                                   rtol=2e-4, atol=2e-4 * scale)
+
+    def loss(fused):
+        def f(v):
+            heads = apply(net, params, v, compute_dtype=jnp.float32,
+                          fused_stem=fused)
+            return sum(jnp.sum(h ** 2) for h in heads)
+        return f
+
+    gw = np.asarray(jax.grad(loss(False))(x))
+    gg = np.asarray(jax.grad(loss(True))(x))
+    # digest comparison (norm + sum): pixel-exact equality is not
+    # guaranteed across the two implementations when a leaky preact
+    # sits within float eps of 0, but the digests are insensitive to
+    # isolated near-zero gate flips
+    assert abs(np.linalg.norm(gg) - np.linalg.norm(gw)) \
+        <= 1e-3 * np.linalg.norm(gw), (np.linalg.norm(gg),
+                                       np.linalg.norm(gw))
+    assert abs(gg.sum() - gw.sum()) <= 1e-3 * np.abs(gw).sum()

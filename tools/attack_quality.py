@@ -40,6 +40,7 @@ import argparse
 import importlib.util
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -89,6 +90,18 @@ def _gen_scenes(gen, out_dir, n, seed, img):
             os.path.join(out_dir, f"scene_{i:04d}.png"))
 
 
+def write_control_patch(path, patch_size, seed=123):
+    """The random-patch control: same pixel distribution as the
+    trainer's init (U[0,1]), untouched by optimization. One definition
+    shared with tests/test_attack_quality.py so the protocol can't
+    drift between the full-scale tool run and its regression test."""
+    import numpy as np
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    Image.fromarray((rng.random((patch_size, patch_size, 3)) * 255)
+                    .astype(np.uint8)).save(path)
+
+
 def _extract_json(stdout):
     for line in reversed(stdout.strip().splitlines()):
         line = line.strip()
@@ -109,6 +122,9 @@ def main():
                          "96 train scenes -> 600 steps at 150)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--force", action="store_true",
+                    help="wipe a non-empty --out dir instead of "
+                         "refusing to reuse it")
     args = ap.parse_args()
 
     if args.full:
@@ -129,6 +145,16 @@ def main():
                  f"{weights} missing")
 
     out = args.out or f"/tmp/attack_quality_{tag}"
+    if os.path.isdir(out) and os.listdir(out):
+        # A previous run's scenes/labels would silently mix into the
+        # train/gt sets (images_filter sweeps whole directories and
+        # scene counts/seeds change filenames) and contaminate the
+        # reported metrics — start clean every run.
+        if not args.force:
+            sys.exit(f"{out} exists and is non-empty; pass --force to "
+                     f"wipe it (a stale run mixed in would corrupt the "
+                     f"metrics) or choose a fresh --out")
+        shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)
     log = os.path.join(out, "cli.log")
     model_args = ["--cfgfile", cfg, "--weightfile", weights,
@@ -162,14 +188,8 @@ def main():
         "--epochs", args.epochs, "--seed", args.seed,
         "--out-dir", run_dir], log)
 
-    # random-patch control: same pixel distribution as the trainer's
-    # init (U[0,1]), untouched by optimization
-    import numpy as np
-    from PIL import Image
     ctrl_png = os.path.join(out, "random_patch.png")
-    rng = np.random.default_rng(123)
-    Image.fromarray((rng.random((patch, patch, 3)) * 255).astype(
-        np.uint8)).save(ctrl_png)
+    write_control_patch(ctrl_png, patch)
 
     print("[4/5] test_patch (paste + detect, trained & random control)",
           flush=True)

@@ -26,9 +26,23 @@ enable_compile_cache()
 
 from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.models import (
     apply, build_network, fold_bn, init_params, yolov3_blocks)
+from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.models import (
+    darknet as _darknet)
 
 net = build_network(yolov3_blocks())
 params = fold_bn(net, init_params(net, jax.random.PRNGKey(1)))
+
+
+def check_route():
+    """Refuse to report a number under the c12 label if any dispatch
+    gate silently fell back to another route (models/darknet.py
+    last_routes breadcrumb; call right after the step has traced)."""
+    if os.environ.get("ADV_PATCH_RES152") == "c12":
+        routes = _darknet.last_routes()
+        if routes != {"stem": "c12", "res152": "c12"}:
+            sys.exit(f"c12 requested but the trace took {routes} — a "
+                     f"gate fell back; this timing must not be "
+                     f"reported as c12")
 
 if mode == "grad":
     x = jnp.asarray(np.random.default_rng(0).random((2, 608, 608, 3),
@@ -39,6 +53,7 @@ if mode == "grad":
         return sum(jnp.sum(h.astype(jnp.float32) ** 2) for h in heads)
 
     val, grad = jax.jit(jax.value_and_grad(f))(x)
+    check_route()
     g = np.asarray(grad)
     print(f"loss={float(val):.6e} gsum={g.sum():.6e} "
           f"gmax={np.abs(g).max():.6e} gnorm={np.linalg.norm(g):.6e}")
@@ -63,6 +78,7 @@ else:
     lr = jnp.float32(0.03)
     for _ in range(3):
         state, aux = step(state, p, imgs, labs, lr)
+    check_route()
     np.asarray(aux["loss"])
     N = 30
     t0 = time.perf_counter()

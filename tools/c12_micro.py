@@ -76,7 +76,7 @@ def main():
 
     xp = to_planar(jnp.asarray(rng.standard_normal((B, H, H, C)), DT))
     y11p, *masks = RF.res152_fused(xp, fwd_ops, s=S, wq=H, save=True)
-    masks = tuple(jax.tree_util.tree_map(lambda a: a, masks))
+    masks = tuple(masks)
     g11p = to_planar(jnp.asarray(rng.standard_normal((B, H, H, C)), DT))
     gp12 = to_planar(
         jnp.asarray(rng.standard_normal((B, H // 2, H // 2, 2 * C)), DT))
