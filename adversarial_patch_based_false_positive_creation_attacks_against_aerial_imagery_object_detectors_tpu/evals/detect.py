@@ -103,7 +103,7 @@ class Detector:
             # O(k^2) on-device IoU matrix small (k = 8*max_det). The
             # batched entry point keeps the rare serial-fallback cond
             # OUTSIDE the vmap (a vmapped cond executes both branches).
-            idx, valid = greedy_nms_device_batch(
+            idx, valid, saturated = greedy_nms_device_batch(
                 boxes, nms_score, nms_thresh, max_det=300)
 
             def gather_rows(boxes_i, obj_i, cc_i, cid_i, idx_i, valid_i):
@@ -114,7 +114,7 @@ class Detector:
 
             dets = jax.vmap(gather_rows)(boxes, obj, cls_conf, cls_id,
                                          idx, valid)
-            return dets, valid
+            return dets, valid, saturated
 
         self._detect_device = _detect_device
 
@@ -163,9 +163,19 @@ class Detector:
                             nms_thresh: float):
         """Fully on-device detection (one jit call: forward + decode +
         threshold + greedy NMS). Returns fixed-size
-        (dets [B, 300, 7], valid [B, 300]) device arrays — the serving
-        path; semantics match ``detect_batch`` (NMS ranked by obj,
-        candidates thresholded on obj*cls)."""
+        (dets [B, 300, 7], valid [B, 300], saturated [B] bool) device
+        arrays — the serving path; semantics match ``detect_batch``
+        (NMS ranked by obj, candidates thresholded on obj*cls).
+
+        Pruning contract: NMS runs over the top 2,400 (= 8*300)
+        above-threshold candidates per image. ``saturated[b]`` is True
+        iff image b had MORE above-threshold candidates than that — the
+        only case where results can be incomplete (this framework
+        *fabricates* dense detections, so a post-attack scene at a low
+        serving conf threshold can hit it). The host path
+        (``detect_batch``) instead re-runs un-pruned on saturation and
+        is always exact; dense-sweep work (the conf-0.01 metrics
+        protocol) should use it."""
         return self._detect_device(
             self.params, jnp.asarray(images),
             jnp.float32(conf_thresh), jnp.float32(nms_thresh))

@@ -34,6 +34,10 @@ class ServiceStats:
     per-batch state without bound)."""
     requests: int = 0
     batches: int = 0
+    # requests whose NMS candidate prune saturated (see
+    # Detector.detect_batch_device's pruning contract): their result is
+    # a lower bound, not provably complete
+    saturated: int = 0
 
     @property
     def mean_batch(self) -> float:
@@ -86,7 +90,7 @@ class DetectionService:
         if warmup:
             s = self.detector.img_size
             z = np.zeros((self.max_batch, s, s, 3), self.wire_dtype)
-            d, v = self.detector.detect_batch_device(
+            d, v, _sat = self.detector.detect_batch_device(
                 z, self.conf_thresh, self.nms_thresh)
             np.asarray(v)  # block until the executable exists
         self._stop.clear()
@@ -119,12 +123,17 @@ class DetectionService:
         self.stop()
 
     # -- request side ------------------------------------------------
-    def submit(self, image: np.ndarray, timeout: Optional[float] = None
-               ) -> np.ndarray:
+    def submit(self, image: np.ndarray, timeout: Optional[float] = None,
+               return_saturated: bool = False):
         """Detect on one [S, S, 3] image — float in [0, 1] or uint8 in
         [0, 255]. Blocks until the batch containing this request
         completes; returns the [N, 7] rows
-        (x, y, w, h, obj, cls_conf, cls_id), normalized.
+        (x, y, w, h, obj, cls_conf, cls_id), normalized — or, with
+        ``return_saturated=True``, ``(rows, saturated)`` where
+        ``saturated`` flags that the device NMS's candidate prune
+        overflowed for this image (the rows are then a lower bound —
+        see ``Detector.detect_batch_device``). Saturated requests are
+        also counted in ``stats.saturated``.
 
         The image is shipped in ``wire_dtype``: with a uint8 wire a
         float input is quantized to 1/255 steps (and a uint8 input
@@ -149,7 +158,8 @@ class DetectionService:
             if self._worker is None or self._stop.is_set():
                 raise RuntimeError("service not started")
             self._queue.put((image, fut))
-        return fut.result(timeout=timeout)
+        rows, saturated = fut.result(timeout=timeout)
+        return (rows, saturated) if return_saturated else rows
 
     # -- worker side -------------------------------------------------
     def _run(self) -> None:
@@ -180,18 +190,21 @@ class DetectionService:
                            images.dtype)
             images = np.concatenate([images, pad])
         try:
-            dets, valid = self.detector.detect_batch_device(
+            dets, valid, saturated = self.detector.detect_batch_device(
                 images, self.conf_thresh, self.nms_thresh)
             dets = np.asarray(dets)
             valid = np.asarray(valid)
+            saturated = np.asarray(saturated)
         except Exception as e:  # resolve every waiter, never deadlock
             for _, fut in batch:
                 fut.set_exception(e)
             return
         self.stats.requests += n
         self.stats.batches += 1
+        self.stats.saturated += int(saturated[:n].sum())
         for i, (_, fut) in enumerate(batch):
-            fut.set_result(dets[i][valid[i].astype(bool)])
+            fut.set_result((dets[i][valid[i].astype(bool)],
+                            bool(saturated[i])))
 
 
 def _now() -> float:

@@ -178,7 +178,20 @@ def _compact(alive, top_idx, max_det):
 def greedy_nms_device_batch(boxes: jnp.ndarray, scores: jnp.ndarray,
                             iou_thresh: float, max_det: int):
     """Batched fixed-size greedy NMS under jit: boxes [B,N,4], scores
-    [B,N] -> (indices [B,max_det], valid [B,max_det]).
+    [B,N] -> (indices [B,max_det], valid [B,max_det],
+    saturated [B] bool).
+
+    ``saturated[b]`` is the pruning contract's truth signal: NMS only
+    considers the top ``k = 8*max_det`` candidates by score (the O(k^2)
+    IoU matrix is what the prune bounds), and the reference's NMS runs
+    over ALL thresholded candidates (utils.py:93-112). When image b has
+    MORE than k positive-score candidates, the cut may drop would-be
+    survivors; ``saturated[b]`` is True exactly then (k-th ranked score
+    still positive with n > k), so callers can escalate (re-run at a
+    higher conf threshold, fall back to the host path as
+    ``Detector.detect_batch`` does at evals/detect.py) or flag the
+    result as a lower bound. With n <= k it is constant False: pruning
+    kept everything.
 
     The Jacobi pass runs vmapped; the exact serial fallback for a
     capped (non-converged) image is decided ONCE at batch level.
@@ -189,6 +202,10 @@ def greedy_nms_device_batch(boxes: jnp.ndarray, scores: jnp.ndarray,
     prep = jax.vmap(functools.partial(
         _nms_prep, iou_thresh=iou_thresh, max_det=max_det))
     top_idx, sup_mat, valid = prep(boxes, scores)
+    if scores.shape[1] > top_idx.shape[1]:  # n > k: prune was real
+        saturated = valid[:, -1]
+    else:
+        saturated = jnp.zeros(scores.shape[0], bool)
     alive, converged = jax.vmap(functools.partial(
         _jacobi_alive, max_passes=JACOBI_MAX_PASSES))(sup_mat, valid)
 
@@ -204,8 +221,9 @@ def greedy_nms_device_batch(boxes: jnp.ndarray, scores: jnp.ndarray,
 
     alive = jax.lax.cond(jnp.all(converged), lambda op: alive, redo,
                          (boxes, scores))
-    return jax.vmap(functools.partial(_compact, max_det=max_det))(
-        alive, top_idx)
+    out_idx, out_valid = jax.vmap(functools.partial(
+        _compact, max_det=max_det))(alive, top_idx)
+    return out_idx, out_valid, saturated
 
 
 def greedy_nms_device(boxes: jnp.ndarray, scores: jnp.ndarray,
@@ -213,8 +231,11 @@ def greedy_nms_device(boxes: jnp.ndarray, scores: jnp.ndarray,
     """Fixed-size greedy NMS under jit.
 
     boxes [N,4], scores [N] (invalid candidates must carry score<=0).
-    Returns (indices [max_det], valid [max_det] bool): the top-scoring
-    surviving boxes, greedy-suppressed exactly like the host version.
+    Returns (indices [max_det], valid [max_det] bool, saturated scalar
+    bool): the top-scoring surviving boxes, greedy-suppressed exactly
+    like the host version, plus the pruning-contract signal (True iff
+    more than the kept ``8*max_det`` candidates scored positive — see
+    ``greedy_nms_device_batch``).
     Do NOT vmap this over a batch — use ``greedy_nms_device_batch``
     (vmapping the internal lax.cond turns it into an always-both-
     branches select; see there).
@@ -242,4 +263,9 @@ def greedy_nms_device(boxes: jnp.ndarray, scores: jnp.ndarray,
     alive, converged = _jacobi_alive(sup_mat, valid, JACOBI_MAX_PASSES)
     alive = jax.lax.cond(converged, lambda op: alive,
                          lambda op: _serial_alive(*op), (sup_mat, valid))
-    return _compact(alive, top_idx, max_det)
+    if scores.shape[0] > top_idx.shape[0]:
+        saturated = valid[-1]
+    else:
+        saturated = jnp.zeros((), bool)
+    out_idx, out_valid = _compact(alive, top_idx, max_det)
+    return out_idx, out_valid, saturated

@@ -60,7 +60,8 @@ def make_handler(service: DetectionService, names, img_size: int):
                 s = service.stats
                 self._json(200, {
                     "requests": s.requests, "batches": s.batches,
-                    "mean_batch": s.mean_batch})
+                    "mean_batch": s.mean_batch,
+                    "saturated": s.saturated})
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -75,12 +76,17 @@ def make_handler(service: DetectionService, names, img_size: int):
                 # same square-pad + resize the offline CLIs use
                 arr, _ = pad_and_scale(
                     img, np.zeros((0, 5), np.float32), img_size)
-                dets = service.submit(arr)
+                dets, saturated = service.submit(
+                    arr, return_saturated=True)
                 # strict JSON: non-finite box coords (possible under an
                 # untrained victim's exp overflow) become null, matching
                 # the metrics CLI's --json convention
                 self._json(200, {
                     "count": int(dets.shape[0]),
+                    # True when the device NMS candidate prune
+                    # overflowed: detections are a lower bound then
+                    # (Detector.detect_batch_device pruning contract)
+                    "saturated": saturated,
                     "detections": [
                         [float(v) if np.isfinite(v) else None
                          for v in row] for row in dets],

@@ -224,8 +224,10 @@ def test_vanishing_transformer(rng):
 def test_detect_batch_device_matches_host(tiny_detector, rng):
     imgs = rng.random((2, 64, 64, 3), dtype=np.float32)
     host = tiny_detector.detect_batch(imgs, 0.2, 0.4)
-    dets, valid = tiny_detector.detect_batch_device(imgs, 0.2, 0.4)
+    dets, valid, sat = tiny_detector.detect_batch_device(imgs, 0.2, 0.4)
     dets, valid = np.asarray(dets), np.asarray(valid)
+    # 252 candidates < the 2,400-candidate prune: provably complete
+    assert not np.asarray(sat).any()
     for i in range(2):
         dev = dets[i][valid[i]]
         h = host[i][:300]
@@ -251,3 +253,22 @@ def test_transform_patch_eval_degenerate_labels_finite(rng):
     imgs = jnp.full((1, 64, 64, 3), 0.3, jnp.float32)
     out = np.asarray(attack.paste_patch(imgs, jnp.asarray(adv)[None]))
     assert np.isfinite(out).all()
+
+
+def test_detect_batch_device_saturation_contract(rng):
+    """End-to-end pruning contract (VERDICT r4 #4): at a geometry with
+    more than 2,400 (= 8*300) candidates, an all-pass conf threshold
+    must raise the saturated flag (results = lower bound), and a normal
+    threshold on the same scene must not. The tiny net at 224^2 has
+    3,087 candidates — past the prune for the first time in the suite."""
+    net = build_network(tiny_test_blocks(width=224, height=224))
+    params = fold_bn(net, init_params(net, jax.random.PRNGKey(5)))
+    det = evals.Detector(net, params, img_size=224,
+                         compute_dtype=jnp.float32)
+    imgs = rng.random((1, 224, 224, 3), dtype=np.float32)
+    # conf -1: every candidate passes (obj sigmoid > 0 always)
+    _, _, sat_dense = det.detect_batch_device(imgs, -1.0, 0.4)
+    assert np.asarray(sat_dense).all()
+    # a real threshold keeps the candidate count under the prune
+    _, _, sat_sparse = det.detect_batch_device(imgs, 0.9, 0.4)
+    assert not np.asarray(sat_sparse).any()

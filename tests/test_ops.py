@@ -137,7 +137,7 @@ def test_nms_device_matches_host(rng):
         axis=1).astype(np.float32)
     scores = rng.random(n).astype(np.float32)
     keep_host = ops.greedy_nms_host(boxes, scores, 0.4)
-    idx, valid = jax.jit(
+    idx, valid, _ = jax.jit(
         lambda b, s: ops.greedy_nms_device(b, s, 0.4, max_det=32)
     )(jnp.asarray(boxes), jnp.asarray(scores))
     keep_dev = np.asarray(idx)[np.asarray(valid)]
@@ -157,7 +157,7 @@ def test_nms_device_suppression_chain(rng):
     scores = np.linspace(1.0, 0.5, n).astype(np.float32)
     keep_host = ops.greedy_nms_host(boxes, scores, 0.4)
     np.testing.assert_array_equal(keep_host, np.arange(0, n, 2))
-    idx, valid = jax.jit(
+    idx, valid, _ = jax.jit(
         lambda b, s: ops.greedy_nms_device(b, s, 0.4, max_det=n)
     )(jnp.asarray(boxes), jnp.asarray(scores))
     np.testing.assert_array_equal(np.asarray(idx)[np.asarray(valid)],
@@ -178,7 +178,7 @@ def test_nms_device_jacobi_cap_falls_back_serial(monkeypatch, rng):
     scores = np.linspace(1.0, 0.5, n).astype(np.float32)
     keep_host = ops.greedy_nms_host(boxes, scores, 0.4)
     monkeypatch.setattr(nms_mod, "JACOBI_MAX_PASSES", 2)
-    idx, valid = ops.greedy_nms_device(
+    idx, valid, _ = ops.greedy_nms_device(
         jnp.asarray(boxes), jnp.asarray(scores), 0.4, max_det=n)
     np.testing.assert_array_equal(np.asarray(idx)[np.asarray(valid)],
                                   keep_host)
@@ -186,7 +186,7 @@ def test_nms_device_jacobi_cap_falls_back_serial(monkeypatch, rng):
     rb = rng.random((64, 4), dtype=np.float32) * 0.3 + 0.1
     rs = rng.random(64, dtype=np.float32) * 0.9 + 0.05
     keep_host = ops.greedy_nms_host(rb, rs, 0.4)
-    idx, valid = ops.greedy_nms_device(
+    idx, valid, _ = ops.greedy_nms_device(
         jnp.asarray(rb), jnp.asarray(rs), 0.4, max_det=64)
     np.testing.assert_array_equal(np.asarray(idx)[np.asarray(valid)],
                                   keep_host)
@@ -209,15 +209,54 @@ def test_nms_device_batch_matches_host(monkeypatch, rng):
     scores[1] = np.linspace(1.0, 0.5, n)
     for cap in (nms_mod.JACOBI_MAX_PASSES, 2):
         monkeypatch.setattr(nms_mod, "JACOBI_MAX_PASSES", cap)
-        idx, valid = jax.jit(
+        idx, valid, sat = jax.jit(
             lambda bb, ss: ops.greedy_nms_device_batch(
                 bb, ss, 0.4, max_det=n)
         )(jnp.asarray(boxes), jnp.asarray(scores))
+        assert not np.asarray(sat).any()  # n <= 8*max_det: prune-free
         for i in range(b):
             keep_host = ops.greedy_nms_host(boxes[i], scores[i], 0.4)
             np.testing.assert_array_equal(
                 np.asarray(idx[i])[np.asarray(valid[i])], keep_host,
                 err_msg=f"image {i} cap {cap}")
+
+
+def test_nms_device_batch_saturation_flag(rng):
+    """The pruning contract (VERDICT r4 #4): device NMS keeps only the
+    top 8*max_det candidates; with MORE positive-score candidates than
+    that it must say so via the saturated flag (the reference NMS runs
+    over all thresholded candidates, utils.py:93-112 — truncation must
+    never be silent). Image 0 overflows the prune (every candidate
+    positive), image 1 does not (positives fit)."""
+    max_det = 4
+    k = 8 * max_det
+    n, b = k + 68, 2  # n > k: the prune is real
+    boxes = (rng.random((b, n, 4), dtype=np.float32) * 0.4 + 0.1)
+    scores = np.zeros((b, n), np.float32)
+    scores[0] = rng.random(n, dtype=np.float32) * 0.9 + 0.05  # all > 0
+    scores[1, : k - 2] = rng.random(k - 2, dtype=np.float32) + 0.05
+    idx, valid, sat = jax.jit(
+        lambda bb, ss: ops.greedy_nms_device_batch(
+            bb, ss, 0.4, max_det=max_det)
+    )(jnp.asarray(boxes), jnp.asarray(scores))
+    sat = np.asarray(sat)
+    assert sat[0] and not sat[1]
+    # the un-saturated image's survivors still match host greedy exactly
+    # (host over the positive candidates only — rows 0..k-3 — matching
+    # the device's score>0 validity; zero-score rows rank last and never
+    # suppress a positive one)
+    keep_host = ops.greedy_nms_host(
+        boxes[1, : k - 2], scores[1, : k - 2], 0.4)[:max_det]
+    np.testing.assert_array_equal(
+        np.asarray(idx[1])[np.asarray(valid[1])], keep_host)
+    # single-image variant carries the same contract
+    _, _, s0 = ops.greedy_nms_device(
+        jnp.asarray(boxes[0]), jnp.asarray(scores[0]), 0.4,
+        max_det=max_det)
+    _, _, s1 = ops.greedy_nms_device(
+        jnp.asarray(boxes[1]), jnp.asarray(scores[1]), 0.4,
+        max_det=max_det)
+    assert bool(s0) and not bool(s1)
 
 
 # ---------------------------------------------------------------------------

@@ -40,7 +40,7 @@ def test_submit_matches_direct_detection(tiny_detector):
     with DetectionService(tiny_detector, max_batch=4, window_ms=1.0,
                           conf_thresh=0.05, nms_thresh=0.4) as svc:
         got = svc.submit(img)
-    dets, valid = tiny_detector.detect_batch_device(
+    dets, valid, _ = tiny_detector.detect_batch_device(
         np.stack([img] + [np.zeros((64, 64, 3), np.float32)] * 3),
         0.05, 0.4)
     want = np.asarray(dets)[0][np.asarray(valid)[0].astype(bool)]
@@ -63,7 +63,7 @@ def test_concurrent_requests_batch_and_route(tiny_detector):
     assert svc.stats.batches < 8  # coalesced
     # oracle per image
     for img, got in zip(imgs, results):
-        dets, valid = tiny_detector.detect_batch_device(
+        dets, valid, _ = tiny_detector.detect_batch_device(
             np.stack([img] + [np.zeros((64, 64, 3), np.float32)] * 3),
             0.05, 0.4)
         want = np.asarray(dets)[0][np.asarray(valid)[0].astype(bool)]
@@ -82,7 +82,7 @@ def test_uint8_wire_matches_quantized_float(tiny_detector):
                           wire_dtype=np.uint8) as svc:
         got_u8 = svc.submit(img_u8)
         got_f = svc.submit(img_f)
-    dets, valid = tiny_detector.detect_batch_device(
+    dets, valid, _ = tiny_detector.detect_batch_device(
         np.stack([img_u8] + [np.zeros((64, 64, 3), np.uint8)] * 3),
         0.05, 0.4)
     want = np.asarray(dets)[0][np.asarray(valid)[0].astype(bool)]

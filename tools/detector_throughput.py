@@ -60,11 +60,11 @@ print(f"end-to-end incl. host I/O + NMS:   batch {B}: "
       f"{dt*1e3:.1f} ms/batch  {B/dt:.1f} img/s")
 
 # fully on-device detection (incl. fixed-size greedy NMS), input resident
-d, v = det.detect_batch_device(dev_imgs, 0.4, 0.4)
+d, v, _ = det.detect_batch_device(dev_imgs, 0.4, 0.4)
 float(jnp.sum(v))
 t0 = time.perf_counter()
 for _ in range(10):
-    d, v = det.detect_batch_device(dev_imgs, 0.4, 0.4)
+    d, v, _ = det.detect_batch_device(dev_imgs, 0.4, 0.4)
 float(jnp.sum(v))
 dt = (time.perf_counter() - t0) / 10
 print(f"full device detect (fwd+decode+NMS): batch {B}: "
