@@ -5,4 +5,5 @@ from .assets import (
 )
 from .labels import (read_label_file, write_label_file, pad_labels,
     count_instances, filter_min_box_scale)
-from .dataset import DotaDataset, BatchLoader, SyntheticData, pad_and_scale
+from .dataset import (DotaDataset, BatchLoader, SyntheticData,
+    DeviceStore, epoch_plan, pad_and_scale)

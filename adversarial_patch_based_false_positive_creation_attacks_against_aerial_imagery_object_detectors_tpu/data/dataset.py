@@ -156,6 +156,79 @@ class BatchLoader:
             stop.set()
 
 
+class DeviceStore:
+    """Whole-trainset device residency — the TPU-native data path for
+    protocol-scale runs.
+
+    The reference streams 24 freshly-decoded 608^2 float tiles to the
+    GPU every step (train_patch.py:123-127: DataLoader, 10 workers). On
+    a relay-attached TPU that per-step H2D (~27 MB float32 at b24 over a
+    ~25 MB/s link) would dwarf the ~74 ms step. Instead the ENTIRE
+    trainset ships to HBM ONCE — images as uint8 ([N, S, S, 3],
+    ~1.1 MB/tile: the 2,410-tile protocol set is 2.7 GB of a v5e's
+    16 GB) plus labels float32 — and each train step gathers its batch
+    by index ON DEVICE inside the epoch-scan program
+    (``train.make_epoch_scan_fn``). uint8 is exact for PNG-sourced
+    tiles already at ``img_size`` (8-bit on disk; normalization back to
+    [0, 1] happens in-graph); resized sources are quantized to 1/255
+    steps, the same contract as the serving path's uint8 wire.
+    """
+
+    def __init__(self, dataset: DotaDataset, sharding=None,
+                 num_workers: int = 8):
+        import jax
+        pool = ThreadPoolExecutor(max_workers=num_workers)
+
+        def load(i):
+            arr, labels = dataset[i]
+            return (np.round(arr * 255.0).astype(np.uint8), labels)
+
+        items = list(pool.map(load, range(len(dataset))))
+        pool.shutdown()
+        imgs = np.stack([it[0] for it in items])
+        labs = np.stack([it[1] for it in items]).astype(np.float32)
+        self.images = jax.device_put(imgs, sharding)
+        self.labels = jax.device_put(labs, sharding)
+        self.n = len(dataset)
+        self.img_size = dataset.img_size
+
+    def __len__(self) -> int:
+        return self.n
+
+
+def epoch_plan(n: int, batch_size: int, epoch: int, seed: int = 0,
+               shuffle: bool = True, drop_last: bool = False
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side index plan for one epoch over a ``DeviceStore``:
+    ``(idx [K, B] int32, weights [K, B] float32)`` — the only per-epoch
+    host->device traffic (~10 KB). A partial final batch is padded by
+    tiling its real rows with zero weights, so the padded batch's loss
+    and grads equal the unpadded one's (same contract as
+    ``PatchTrainer.run_epoch``). Shuffling is seeded per ``(seed,
+    epoch)`` so a resumed run replays the identical plan."""
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng((seed, epoch)).shuffle(order)
+    if drop_last:
+        order = order[: (n // batch_size) * batch_size]
+    if len(order) == 0:
+        raise ValueError(
+            f"no batches: n={n}, batch_size={batch_size}, "
+            f"drop_last={drop_last}")
+    k = -(-len(order) // batch_size)
+    idx = np.empty((k, batch_size), np.int32)
+    weights = np.ones((k, batch_size), np.float32)
+    for b in range(k):
+        rows = order[b * batch_size: (b + 1) * batch_size]
+        n_real = len(rows)
+        if n_real < batch_size:
+            fill = rows[np.arange(batch_size - n_real) % n_real]
+            rows = np.concatenate([rows, fill])
+            weights[b, n_real:] = 0.0
+        idx[b] = rows
+    return idx, weights
+
+
 class SyntheticData:
     """Deterministic random tiles + labels, for benchmarks and tests
     (no image files needed)."""

@@ -4,6 +4,7 @@ from .config import (
 )
 from .trainer import (
     PatchTrainer, TrainState, ReduceLROnPlateau, make_loss_fn,
-    make_train_step, init_train_state, init_patch, build_victim,
+    make_train_step, make_epoch_scan_fn, init_train_state, init_patch,
+    build_victim,
 )
 from .optim import scale_by_torch_amsgrad

@@ -48,6 +48,10 @@ class ExperimentConfig:
     max_epochs: int = 401
     plateau_patience: int = 50
     plateau_factor: float = 0.1
+    # carried value-for-value from the reference (patch_config.py:47-158
+    # assigns per-experiment max_tv) but READ NOWHERE — true of the
+    # reference too: nothing consumes it there either. Config parity
+    # only, not a wiring bug.
     max_tv: float = 0.0
     # loss recipe + weights
     loss_recipe: str = "creation_colorful"

@@ -26,7 +26,7 @@ import numpy as np
 
 from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu import train as T
 from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.data.dataset import (
-    BatchLoader, DotaDataset, SyntheticData)
+    BatchLoader, DeviceStore, DotaDataset, SyntheticData)
 from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.utils.checkpoint import save_patch_png
 
 
@@ -60,6 +60,12 @@ def main(argv=None):
                     help="train on N synthetic tiles instead of files "
                          "(smoke/bench)")
     ap.add_argument("--num-workers", type=int, default=8)
+    ap.add_argument("--device-store", action="store_true",
+                    help="ship the whole trainset to device HBM once "
+                         "(uint8) and run each epoch as ONE lax.scan "
+                         "program — the protocol-scale path for relay-"
+                         "attached TPUs (per-step H2D would otherwise "
+                         "dominate the step)")
     args = ap.parse_args(argv)
 
     overrides = {k: v for k, v in {
@@ -97,6 +103,19 @@ def main(argv=None):
         def make_batches(epoch):
             return [data.batch(exp.batch_size, epoch * 10000 + i)
                     for i in range(n_batches)]
+    elif args.device_store:
+        ds = DotaDataset(exp.img_dir, exp.lab_dir, exp.max_labels,
+                         exp.img_size)
+        print(f"{len(ds)} training images -> device store "
+              f"(~{len(ds) * exp.img_size**2 * 3 / 2**20:.0f} MB uint8)")
+        t0 = time.time()
+        store = DeviceStore(ds, num_workers=args.num_workers)
+        import jax as _jax
+        _jax.block_until_ready(store.images)
+        print(f"store resident in {time.time() - t0:.1f}s; "
+              f"{-(-len(ds) // exp.batch_size)} batches/epoch "
+              f"(partial final batch runs weighted, reference "
+              f"drop_last=False semantics)")
     else:
         ds = DotaDataset(exp.img_dir, exp.lab_dir, exp.max_labels,
                          exp.img_size)
@@ -113,8 +132,12 @@ def main(argv=None):
     epochs = (args.epochs if args.epochs is not None
               else exp.max_epochs) - start_epoch
     t0 = time.time()
-    patch, history = trainer.train(make_batches, epochs=epochs,
-                                   start_epoch=start_epoch)
+    if args.device_store and not args.synthetic:
+        patch, history = trainer.train_store(store, epochs=epochs,
+                                             start_epoch=start_epoch)
+    else:
+        patch, history = trainer.train(make_batches, epochs=epochs,
+                                       start_epoch=start_epoch)
     print(f"total training time: {(time.time() - t0) / 60:.2f} min")
 
     os.makedirs(args.out_dir, exist_ok=True)

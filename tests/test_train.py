@@ -334,3 +334,123 @@ def test_gather_warp_method_trains(tiny_victim):
     imgs, labs = map(jnp.asarray, data.batch(8))
     state, aux = step(state, params, imgs, labs, jnp.float32(0.03))
     assert np.isfinite(float(aux["loss"]))
+
+
+# ---------------------------------------------------------------------------
+# device-resident store + epoch-scan path (the protocol-scale data path)
+# ---------------------------------------------------------------------------
+
+def test_epoch_plan_shapes_padding_determinism():
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.data.dataset import epoch_plan
+    # 10 items, batch 4 -> 3 batches, final has 2 real + 2 tiled pads
+    idx, w = epoch_plan(10, 4, epoch=0, seed=5)
+    assert idx.shape == (3, 4) and w.shape == (3, 4)
+    assert idx.dtype == np.int32 and w.dtype == np.float32
+    assert w[:2].all() and (w[2] == [1, 1, 0, 0]).all()
+    # pads tile the final batch's REAL rows (run_epoch's fill rule)
+    assert idx[2, 2] == idx[2, 0] and idx[2, 3] == idx[2, 1]
+    # every real slot covers the dataset exactly once
+    real = np.sort(idx[w.astype(bool)])
+    np.testing.assert_array_equal(real, np.arange(10))
+    # per-(seed, epoch) determinism; different epochs reshuffle
+    idx2, _ = epoch_plan(10, 4, epoch=0, seed=5)
+    np.testing.assert_array_equal(idx, idx2)
+    assert not np.array_equal(idx, epoch_plan(10, 4, epoch=1, seed=5)[0])
+    # divisible n -> all weights 1
+    _, w = epoch_plan(8, 4, epoch=0)
+    assert w.all()
+    # drop_last trims instead of padding
+    idx, w = epoch_plan(10, 4, epoch=0, drop_last=True)
+    assert idx.shape == (2, 4) and w.all()
+    with pytest.raises(ValueError):
+        epoch_plan(3, 4, epoch=0, drop_last=True)
+
+
+def _file_dataset(tmp_path, n, img_size=64):
+    from PIL import Image
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.data.dataset import DotaDataset
+    img_dir, lab_dir = tmp_path / "img", tmp_path / "lab"
+    img_dir.mkdir()
+    lab_dir.mkdir()
+    rng = np.random.default_rng(42)
+    for i in range(n):
+        Image.fromarray(
+            (rng.random((img_size, img_size, 3)) * 255).astype(np.uint8)
+        ).save(img_dir / f"t{i}.png")
+        (lab_dir / f"t{i}.txt").write_text(
+            f"{i % 15} 0.5 0.5 0.3 0.3\n" if i % 3 else "")
+    return DotaDataset(str(img_dir), str(lab_dir), max_labels=8,
+                       img_size=img_size)
+
+
+@pytest.mark.slow
+def test_store_epoch_matches_per_step_path(tmp_path, tiny_victim):
+    """The epoch-scan program over a DeviceStore must walk the SAME
+    trajectory as the per-step run_epoch path on the same batch
+    content: same per-step RNG splits, same weighted padding of the
+    partial final batch, uint8 store exact for PNG sources."""
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.data.dataset import (
+        DeviceStore, epoch_plan)
+    net, params = tiny_victim
+    exp = tiny_exp(batch_size=4, max_labels=8)
+    ds = _file_dataset(tmp_path, 10)
+    store = DeviceStore(ds, num_workers=2)
+    assert np.asarray(store.images).dtype == np.uint8
+    assert store.n == 10
+
+    # host copies for the per-step oracle
+    items = [ds[i] for i in range(10)]
+    imgs = np.stack([it[0] for it in items])
+    labs = np.stack([it[1] for it in items])
+
+    t_step = T.PatchTrainer(exp, net=net, params=params, seed=3,
+                            log=lambda s: None)
+    t_scan = T.PatchTrainer(exp, net=net, params=params, seed=3,
+                            log=lambda s: None)
+    np.testing.assert_array_equal(np.asarray(t_step.state.patch),
+                                  np.asarray(t_scan.state.patch))
+
+    for epoch in range(2):
+        idx, w = epoch_plan(10, 4, epoch, seed=3)
+        # feed run_epoch the same order, UNPADDED final batch (it pads
+        # with the identical tile rule itself)
+        batches = []
+        for b in range(idx.shape[0]):
+            rows = idx[b][w[b].astype(bool)]
+            batches.append((imgs[rows], labs[rows]))
+        s_step = t_step.run_epoch(batches, epoch)
+        s_scan = t_scan.run_epoch_store(store, epoch)
+        assert s_step["num_batches"] == s_scan["num_batches"] == 3
+        np.testing.assert_allclose(s_step["loss"], s_scan["loss"],
+                                   rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(t_step.state.patch),
+                               np.asarray(t_scan.state.patch),
+                               atol=5e-6)
+    assert int(t_scan.state.step) == 6
+
+
+@pytest.mark.slow
+def test_store_train_resume(tmp_path, tiny_victim):
+    """train_store + checkpoint/resume: a run killed mid-schedule and
+    resumed lands on the same epoch count and a finite loss, and the
+    resumed epoch replays the same (seed, epoch) plan."""
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.data.dataset import DeviceStore
+    net, params = tiny_victim
+    exp = tiny_exp(batch_size=4, max_labels=8, checkpoint_every=1)
+    ds = _file_dataset(tmp_path, 8)
+    store = DeviceStore(ds, num_workers=2)
+
+    ck = str(tmp_path / "run")
+    t1 = T.PatchTrainer(exp, net=net, params=params, seed=9,
+                        checkpoint_dir=ck, log=lambda s: None)
+    t1.train_store(store, epochs=2)            # epochs 0, 1 (ckpt @ 1)
+    t2 = T.PatchTrainer(exp, net=net, params=params, seed=9,
+                        checkpoint_dir=ck, log=lambda s: None)
+    start = t2.restore_checkpoint() + 1
+    assert start == 2
+    np.testing.assert_array_equal(np.asarray(t1.state.patch),
+                                  np.asarray(t2.state.patch))
+    patch, hist = t2.train_store(store, epochs=1, start_epoch=start)
+    assert hist[-1]["epoch"] == 2
+    assert np.isfinite(hist[-1]["loss"])
+    assert (patch >= 0).all() and (patch <= 1).all()

@@ -56,18 +56,24 @@ def _run(cmd, timeout, env=None) -> dict:
     return {"cmd": " ".join(cmd), "rc": rc,
             "seconds": round(time.time() - t0, 1),
             "tail": tail[-500:],
-            "stderr_tail": (stderr.strip().splitlines() or [""])[-1][-300:]}
+            "stderr_tail": (stderr.strip().splitlines() or [""])[-1][-300:],
+            "_stdout": stdout}
 
 
 def stage_tests(full_tier: bool) -> dict:
     cmd = [sys.executable, "-m", "pytest", "tests/", "-q"]
     if not full_tier:
         cmd += ["-m", "not slow"]
-    rec = _run(cmd, timeout=7200)
-    m = re.search(r"(\d+) passed", rec["tail"])
-    rec["passed"] = int(m.group(1)) if m else 0
-    m = re.search(r"(\d+) failed", rec["tail"])
-    rec["failed"] = int(m.group(1)) if m else 0
+    rec = _run(cmd, timeout=10800 if full_tier else 7200)
+    # count from the FULL stdout, not the truncated tail: a long
+    # warnings/summary footer must not flip a green run to passed=0
+    stdout = rec.pop("_stdout")
+    counts = {k: 0 for k in ("passed", "failed", "error")}
+    for k in counts:
+        m = re.findall(rf"(\d+) {k}", stdout)
+        counts[k] = int(m[-1]) if m else 0
+    rec["passed"] = counts["passed"]
+    rec["failed"] = counts["failed"] + counts["error"]
     rec["ok"] = rec["rc"] == 0 and rec["passed"] > 0 and rec["failed"] == 0
     return rec
 
@@ -84,20 +90,23 @@ def stage_entry_lower() -> dict:
         "print('entry lowered ok:', [o.shape for o in outs])\n"
     )
     rec = _run([sys.executable, "-c", code], timeout=600)
-    rec["ok"] = rec["rc"] == 0 and "entry lowered ok" in rec["tail"]
+    stdout = rec.pop("_stdout")
+    rec["ok"] = rec["rc"] == 0 and "entry lowered ok" in stdout
     return rec
 
 
 def stage_dryrun(n: int) -> dict:
     rec = _run([sys.executable, "__graft_entry__.py", str(n)], timeout=900)
-    rec["ok"] = rec["rc"] == 0 and f"dryrun_multichip({n}): ok" in rec["tail"]
+    stdout = rec.pop("_stdout")
+    rec["ok"] = rec["rc"] == 0 and f"dryrun_multichip({n}): ok" in stdout
     return rec
 
 
 def stage_bench() -> dict:
     rec = _run([sys.executable, "bench.py"], timeout=3600)
+    stdout = rec.pop("_stdout")
     rec["ok"] = False
-    for line in reversed(rec["tail"].splitlines()):
+    for line in reversed(stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
             try:

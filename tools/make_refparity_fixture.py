@@ -286,14 +286,16 @@ def train_victim(torch, model, anchors_groups, rng, palette, *,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--full", action="store_true",
-                    help="the real 75-conv yolov3-dota graph, goldens "
-                         "at 608^2 (weights too large to commit)")
-    ap.add_argument("--slim", action="store_true",
-                    help="full-DEPTH 75-conv graph at width_mult 0.25 "
-                         "(~3.9M params / 15.6MB — small enough to COMMIT "
-                         "whole), goldens at 608^2: the fresh-checkout-"
-                         "verifiable architecture-of-record parity tier")
+    scale = ap.add_mutually_exclusive_group()
+    scale.add_argument("--full", action="store_true",
+                       help="the real 75-conv yolov3-dota graph, goldens "
+                            "at 608^2 (weights too large to commit)")
+    scale.add_argument("--slim", action="store_true",
+                       help="full-DEPTH 75-conv graph at width_mult 0.25 "
+                            "(~3.9M params / 15.6MB — small enough to "
+                            "COMMIT whole), goldens at 608^2: the fresh-"
+                            "checkout-verifiable architecture-of-record "
+                            "parity tier")
     ap.add_argument("--reuse-weights", action="store_true",
                     help="skip training, regenerate tiles/goldens only")
     ap.add_argument("--steps", type=int, default=None)
