@@ -122,3 +122,71 @@ def test_dataset_tools(raw_images, tmp_path):
             "0.5 0.5 0.1 0.1 0.9 0.9 3\n")
     dataset_tools.main(["recall", "--pred-dir", str(pred_dir),
                         "--gt-dir", str(lab_dir), "--conf", "0.0"])
+
+
+@pytest.mark.slow
+def test_paste_patch_cli_fixed_and_eot(raw_images, tmp_path):
+    """cli/paste_patch.py end to end — the working replacement for the
+    reference's broken patch_applier.py (its load_weights call doesn't
+    exist, reference patch_applier.py:45). Fixed placement: the patch
+    lands centered, borders untouched. EOT placement: output differs
+    from the source but stays in [0, 1]."""
+    import paste_patch
+    rng = np.random.default_rng(3)
+    patch_png = str(tmp_path / "patch.png")
+    Image.fromarray(
+        (rng.random((16, 16, 3)) * 128 + 127).astype(np.uint8)
+    ).save(patch_png)
+
+    fixed_dir = str(tmp_path / "fixed")
+    paste_patch.main([
+        "--patch", patch_png, "--patch-size", "16",
+        "--img-dir", raw_images, "--out-dir", fixed_dir,
+        "--img-size", "64",
+        "--fixed-center", "0.5", "0.5", "--fixed-scale", "0.4"])
+    outs = sorted(os.listdir(fixed_dir))
+    assert len(outs) == 3
+    src = np.asarray(Image.open(
+        os.path.join(raw_images, "tile0.png")), np.float32)
+    out = np.asarray(Image.open(
+        os.path.join(fixed_dir, "tile0.png")), np.float32)
+    # borders untouched (patch occupies ~0.4*64 = 26 px around center)
+    np.testing.assert_array_equal(out[:8], src[:8])
+    np.testing.assert_array_equal(out[-8:], src[-8:])
+    np.testing.assert_array_equal(out[:, :8], src[:, :8])
+    # center changed
+    assert not np.array_equal(out[24:40, 24:40], src[24:40, 24:40])
+
+    # EOT placement driven by per-image labels
+    lab_dir = tmp_path / "labs"
+    lab_dir.mkdir()
+    for i in range(3):
+        (lab_dir / f"tile{i}.txt").write_text("2 0.5 0.5 0.4 0.4\n")
+    eot_dir = str(tmp_path / "eot")
+    paste_patch.main([
+        "--patch", patch_png, "--patch-size", "16",
+        "--img-dir", raw_images, "--lab-dir", str(lab_dir),
+        "--out-dir", eot_dir, "--img-size", "64", "--seed", "7"])
+    out = np.asarray(Image.open(
+        os.path.join(eot_dir, "tile0.png")), np.float32) / 255.0
+    assert out.min() >= 0 and out.max() <= 1
+    assert not np.array_equal(out, src / 255.0)
+
+
+@pytest.mark.slow
+def test_train_patch_debug_nans_smoke(tiny_cfg, tmp_path):
+    """--debug-nans (the reference's always-on detect_anomaly analog,
+    train_patch.py:158) runs a clean 1-epoch synthetic train without
+    tripping, then is reset so later tests aren't affected."""
+    import jax
+    import train_patch
+    try:
+        train_patch.main([
+            "--mode", "paper_obj", "--cfgfile", tiny_cfg,
+            "--img-size", "64", "--patch-size", "16",
+            "--batch-size", "4", "--epochs", "1", "--synthetic", "4",
+            "--debug-nans", "--out-dir", str(tmp_path / "run")])
+        assert jax.config.jax_debug_nans
+    finally:
+        jax.config.update("jax_debug_nans", False)
+    assert os.path.exists(tmp_path / "run" / "final_patch.png")

@@ -142,3 +142,39 @@ def test_synthetic_data_deterministic():
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(l1, l2)
     assert a1.shape == (4, 32, 32, 3) and l1.shape == (4, 4, 5)
+
+
+def test_filter_min_box_scale():
+    """read_truths_args parity (reference utils.py:408-417): rows with
+    width < min_box_scale drop; width == threshold survives (the
+    reference's `< : continue` keeps equality)."""
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.data.labels import filter_min_box_scale
+    labs = np.array([[0, .5, .5, .10, .2],
+                     [1, .5, .5, .05, .2],
+                     [2, .5, .5, .20, .2]], np.float32)
+    out = filter_min_box_scale(labs, 0.10)
+    np.testing.assert_array_equal(out[:, 0], [0, 2])
+    assert filter_min_box_scale(np.zeros((0, 5), np.float32), 0.1).size == 0
+
+
+def test_batch_loader_early_termination(image_dataset):
+    """Breaking out of a BatchLoader iteration mid-epoch stops the
+    producer thread (the finally/stop-event path): a fresh iteration
+    afterwards still yields every batch."""
+    import threading
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.data.dataset import BatchLoader
+    loader = BatchLoader(image_dataset, batch_size=2, num_workers=2,
+                         seed=0)
+    n_before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    del it  # consumer abandons mid-epoch -> finally sets stop
+    import gc, time
+    gc.collect()
+    for _ in range(50):  # producer should exit promptly
+        if threading.active_count() <= n_before + 2:
+            break
+        time.sleep(0.1)
+    # a fresh epoch still works and is complete
+    batches = list(loader)
+    assert sum(b[0].shape[0] for b in batches) == len(image_dataset)

@@ -272,3 +272,18 @@ def test_detect_batch_device_saturation_contract(rng):
     # a real threshold keeps the candidate count under the prune
     _, _, sat_sparse = det.detect_batch_device(imgs, 0.9, 0.4)
     assert not np.asarray(sat_sparse).any()
+
+
+def test_class_color_reference_ramp_values():
+    """class_color pins the reference's color hash exactly
+    (utils.py:294-334: offset = cls_id*123457 % classes over the
+    magenta/blue/cyan/green/yellow/red ramp, channels returned BGR->RGB
+    swapped). Oracle values computed from the reference formula."""
+    from adversarial_patch_based_false_positive_creation_attacks_against_aerial_imagery_object_detectors_tpu.evals import class_color
+    expected = [
+        (255, 0, 255), (169, 255, 0), (0, 84, 255), (255, 255, 0),
+        (0, 169, 255), (255, 169, 0), (0, 255, 255), (255, 84, 0),
+        (0, 255, 169), (255, 0, 0), (0, 255, 84), (255, 0, 85),
+        (0, 255, 0), (255, 0, 170), (85, 255, 0)]
+    got = [class_color(c, 15) for c in range(15)]
+    assert got == expected
