@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -280,16 +281,27 @@ def _upsample(x: jnp.ndarray, scale: int) -> jnp.ndarray:
 # the multi-device guard) can never report a fallback timing under a
 # fast-path label — the same invariant bench.py enforces by tagging
 # fused-stem fallbacks in its output.
-_last_routes = {"stem": "xla", "res152": "xla"}
+_routes_tls = threading.local()
+
+
+def _last_routes() -> Dict[str, str]:
+    """Per-THREAD route breadcrumb (trace-time state must not leak
+    between concurrent apply() traces, e.g. async compilation or a
+    threaded A/B harness)."""
+    d = getattr(_routes_tls, "d", None)
+    if d is None:
+        d = {"stem": "xla", "res152": "xla"}
+        _routes_tls.d = d
+    return d
 
 
 def last_routes() -> Dict[str, str]:
-    """Routes taken by the most recent ``apply`` TRACE in this process:
+    """Routes taken by the most recent ``apply`` TRACE on this thread:
     ``{"stem": "c12"|"fused"|"fused-shard"|"planar"|"packed"|"xla",
     "res152": "c12"|"fused"|"planar"|"xla"}``. Trace-time only — a
     jit cache hit re-traces nothing, so read it right after the first
     call of a freshly built step."""
-    return dict(_last_routes)
+    return dict(_last_routes())
 
 
 def apply(net: Network, params: Params, x: jnp.ndarray,
@@ -323,7 +335,7 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
     saved = set(net.saved_outputs)
     prev = x
     start = 0
-    _last_routes.update(stem="xla", res152="xla")
+    _last_routes().update(stem="xla", res152="xla")
     if fused_stem is None:
         # The fused stripe megakernels (ops/stem_fused.py) keep the
         # whole 5-conv stem chain in VMEM, forward and input-backward
@@ -384,7 +396,7 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
                         p12["b"])
                     outputs[12] = prev
                     start = 13
-                    _last_routes.update(stem="c12", res152="c12")
+                    _last_routes().update(stem="c12", res152="c12")
             # ADV_PATCH_STEM_REMAT=1: backward rematerializes stem
             # activations in VMEM instead of restoring the forward's
             # saved planar exports — A/B lever for large batches where
@@ -408,7 +420,7 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
                     prev = stem_fn(xc, sp)
                 outputs[5] = prev
                 start = 6
-                _last_routes["stem"] = ("fused-shard" if n_dev > 1
+                _last_routes()["stem"] = ("fused-shard" if n_dev > 1
                                         else "fused")
     if start == 0 and planar_stem is None:
         # Default OFF: the planar FORWARD wins (5.3 vs 8.2 ms at b8 —
@@ -428,7 +440,7 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
             prev = stem_planar.planar_stem(x.astype(compute_dtype), sp)
             outputs[5] = prev
             start = 6
-            _last_routes["stem"] = "planar"
+            _last_routes()["stem"] = "planar"
     if start == 6:
         # Optional continuation of the Pallas fast path through the
         # 152^2 residual stage (layers 6-11, two stride-1 residual
@@ -457,7 +469,7 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
                     prev.astype(compute_dtype), sp6)
                 outputs[11] = prev
                 start = 12
-                _last_routes["res152"] = "fused"
+                _last_routes()["res152"] = "fused"
             elif (mode == "1"
                     and res_planar.res152_applicable(
                         net, params, x.shape)):
@@ -466,7 +478,7 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
                     prev.astype(compute_dtype), sp6)
                 outputs[11] = prev
                 start = 12
-                _last_routes["res152"] = "planar"
+                _last_routes()["res152"] = "planar"
     if start == 0 and packed_stem and "b" in params.get("conv_0", {}):
         from ..experimental.packed_stem import packed_stem_apply, stem_applicable
         if stem_applicable(net):
@@ -476,7 +488,7 @@ def apply(net: Network, params: Params, x: jnp.ndarray,
             if 1 in saved:
                 outputs[1] = prev
             start = 2
-            _last_routes["stem"] = "packed"
+            _last_routes()["stem"] = "packed"
     for i, layer in enumerate(net.layers[start:], start=start):
         if layer.kind == "convolutional":
             prev = _conv_layer(prev, layer.conv, params[f"conv_{i}"],

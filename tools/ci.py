@@ -63,6 +63,9 @@ def _run(cmd, timeout, env=None) -> dict:
 def stage_tests(full_tier: bool) -> dict:
     cmd = [sys.executable, "-m", "pytest", "tests/", "-q"]
     if not full_tier:
+        # "not slow" still opts IN to the slim-marked refparity tier
+        # (committed full-depth parity, ~minutes) — local quick runs can
+        # skip it with -m "not slow and not slim"
         cmd += ["-m", "not slow"]
     rec = _run(cmd, timeout=10800 if full_tier else 7200)
     # count from the FULL stdout, not the truncated tail: a long
