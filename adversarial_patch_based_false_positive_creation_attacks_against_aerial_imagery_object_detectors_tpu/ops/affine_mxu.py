@@ -34,6 +34,7 @@ via an appended ones channel.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -46,9 +47,15 @@ def _hat(t: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
-# elementwise budget for one interpolation-matrix chunk (fp32 elements);
-# bounds peak temp memory at ~256 MB regardless of batch size
-_CHUNK_BUDGET = 64 * 1024 * 1024
+# byte budget for one interpolation-matrix chunk (fp32 elements =
+# bytes/4); bounds the peak [B, y_chunk, ow, w] hat-matrix temp. Wider
+# chunks mean fewer pass-X strips for XLA's strip concatenate to
+# pad+add together — profiled at b24/608^2, the 12-strip default-256MB
+# concatenate cost ~1.3 ms of pad_add fusions and 1 GB (3 strips)
+# measured 73.9 -> 71.6 ms/step with b8 unchanged (ROADMAP round 5);
+# ADV_PATCH_WARP_CHUNK_MB overrides for A/B or smaller-HBM parts.
+_CHUNK_BUDGET = int(os.environ.get("ADV_PATCH_WARP_CHUNK_MB", "1024")
+                    ) * 1024 * 1024 // 4
 
 
 def affine_warp_mxu(img: jnp.ndarray, theta: jnp.ndarray,

@@ -58,9 +58,8 @@ def main():
                           range(N_REQ)))
         dt = time.perf_counter() - t0
     s = svc.stats
-    mean_b = sum(s.batch_sizes) / len(s.batch_sizes)
     print(f"served {N_REQ} reqs in {dt:.2f}s = {N_REQ/dt:.1f} img/s "
-          f"({s.batches} batches, mean fill {mean_b:.1f}/{MAX_B}, "
+          f"({s.batches} batches, mean fill {s.mean_batch:.1f}/{MAX_B}, "
           f"{CLIENTS} clients, wire={WIRE.name}, "
           f"devices={jax.device_count()})")
 

@@ -71,32 +71,49 @@ CATEGORIES = (
 )
 
 
-def categorize(name: str) -> str:
+def categorize(name: str, hlo_category: str = "") -> str:
+    """Prefer the trace's own hlo_category for convolution work: XLA
+    names a fused conv after its LAST op (e.g. the round-4 mystery
+    'convert_reduce_fusion' at b24 was eight 19^2-stage tower convs
+    whose forward fusion also bit-packs the leaky-gate signs into
+    u32[24,19,1024] — a name-regex filed 3.5 ms of roofline conv time
+    under 'reduce'). Pallas custom-calls keep their name-based labels
+    (their hlo_category is just 'custom-call')."""
     low = name.lower()
-    for label, pat in CATEGORIES:
+    for label, pat in CATEGORIES[:3]:       # stem/layout pallas kernels
+        if re.search(pat, low):
+            return label
+    if "convolution" in hlo_category:
+        return "conv"
+    for label, pat in CATEGORIES[3:]:
         if re.search(pat, low):
             return label
     return "other"
 
 
 def main():
-    step, state, params, imgs, labs = build_step()
-    lr = jnp.float32(0.03)
-    for _ in range(3):
-        state, aux = step(state, params, imgs, labs, lr)
-    np.asarray(aux["loss"])
+    if os.environ.get("STEP_PROFILE_TRACE"):
+        # parse-only mode: re-attribute an existing capture (N must
+        # match the capture's step count for per-step math)
+        traces = [os.environ["STEP_PROFILE_TRACE"]]
+    else:
+        step, state, params, imgs, labs = build_step()
+        lr = jnp.float32(0.03)
+        for _ in range(3):
+            state, aux = step(state, params, imgs, labs, lr)
+        np.asarray(aux["loss"])
 
-    tmp = tempfile.mkdtemp(prefix="stepprof_")
-    jax.profiler.start_trace(tmp)
-    for _ in range(N):
-        state, aux = step(state, params, imgs, labs, lr)
-    np.asarray(aux["loss"])
-    jax.profiler.stop_trace()
+        tmp = tempfile.mkdtemp(prefix="stepprof_")
+        jax.profiler.start_trace(tmp)
+        for _ in range(N):
+            state, aux = step(state, params, imgs, labs, lr)
+        np.asarray(aux["loss"])
+        jax.profiler.stop_trace()
 
-    traces = glob.glob(os.path.join(
-        tmp, "plugins", "profile", "*", "*.trace.json.gz"))
-    if not traces:
-        sys.exit(f"no trace written under {tmp}")
+        traces = glob.glob(os.path.join(
+            tmp, "plugins", "profile", "*", "*.trace.json.gz"))
+        if not traces:
+            sys.exit(f"no trace written under {tmp}")
     with gzip.open(traces[0], "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
@@ -124,7 +141,8 @@ def main():
         dur = float(e.get("dur", 0.0))  # us
         total += dur
         by_op[name] += dur
-        by_cat[categorize(name)] += dur
+        by_cat[categorize(
+            name, e.get("args", {}).get("hlo_category", ""))] += dur
 
     per_step = total / N / 1e3
     print(f"\nbatch {B}, {N} steps; device op time "
